@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+sf0.001; ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2B (plus the training-data-pipeline operators); each
+SQL-expressible query has a matching DuckDB oracle in ``oracle_sql()``.
+
+Float discipline for hash-exact comparison: money-style sums are
+computed as integer cents (exact + associative on both engines);
+computed floats are rounded to 6 decimals with identical expressions
+on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,696 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+from pulsarfeatureextractor_spark.functions.text import (
+    STOPWORDS,
+    with_fingerprint,
+    with_langid,
+    with_quality_metrics,
+    with_token_counts,
+)
+from pulsarfeatureextractor_spark.operators.asof import asof_join
+from pulsarfeatureextractor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    simhash_signatures,
+)
+from pulsarfeatureextractor_spark.operators.rangejoin import range_join_count
+from pulsarfeatureextractor_spark.operators.salt import salted_join
+from pulsarfeatureextractor_spark.operators.sessionize import session_aggregates
+from pulsarfeatureextractor_spark.operators.similarity import cosine_topk, rp_lsh_topk
+from pulsarfeatureextractor_spark.operators.windows import ffill, lagged, rolling_agg
+from pulsarfeatureextractor_spark.sources.readers import load_table
+from pulsarfeatureextractor_spark.sources.tokenized import (
+    documents_to_sequences,
+    with_event_time,
+)
+
+GAP_SECONDS = 1800.0
+SEVEN_DAYS = 7 * 24 * 3600
+
+
+def _cents(col):
+    """Exact integer cents: identical double product + round on both engines."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature pipeline (SURVEY.md §3.2):
+    tokenize documents -> derive event_time -> Lyon moment features
+    (Arrow-vectorized) -> as-of join earlier feature observations
+    (leakage-free window plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = with_event_time(documents_to_sequences(docs))
+    feats = with_lyon_features(seqs)
+
+    # feature snapshots: the same features observed n_tok seconds
+    # earlier (deterministic synthetic observation history)
+    snaps = feats.select(
+        "doc_id",
+        (F.col("event_time") - F.make_interval(secs=F.col("n_tok").cast("double"))).alias("obs_time"),
+        F.col("mean").alias("f_mean_obs"),
+        F.col("stdev").alias("f_std_obs"),
+    )
+    joined = asof_join(
+        feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean_obs", "f_std_obs"], strategy="window",
+    )
+    return joined.select(
+        "doc_id", "source", "event_time", "n_tok",
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+        F.round("f_mean_obs", 6).alias("f_mean_obs"),
+        F.round("f_std_obs", 6).alias("f_std_obs"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# relational core (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def region_customer_stats(spark, sf):
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+def segment_customers_with_orders(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def segment_customers_without_orders(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def rollup_lineitem_status(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def event_type_distinct_users(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def topk_orders_per_segment(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def custkeys_1995_not_1996(spark, sf):
+    o = load_table(spark, sf, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.subtract(y96)
+
+
+def json_props_stats(spark, sf):
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def salted_join_quantity(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "orderkey", k=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# point-in-time / window operators over events
+# --------------------------------------------------------------------------
+
+def lag_lead_events(spark, sf):
+    e = load_table(spark, sf, "events")
+    out = lagged(e, "user_id", "ts", ["value"], offsets=(1, -1))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    delta_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    return out.select(
+        "event_id", "user_id",
+        "value_lag1", "value_lead1",
+        delta_us.alias("delta_t_us"),
+    )
+
+
+def ffill_purchase_value(spark, sf):
+    e = load_table(spark, sf, "events")
+    v = e.withColumn(
+        "pval", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    filled = ffill(v, "user_id", "ts", ["pval"])
+    return filled.select("event_id", "user_id", F.col("pval").alias("pval_ffill"))
+
+
+def sessionize_events(spark, sf):
+    e = load_table(spark, sf, "events")
+    return session_aggregates(e, "user_id", "ts", GAP_SECONDS)
+
+
+def asof_purchase_before_view(spark, sf):
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="window",
+    )
+
+
+def asof_tolerance_1d(spark, sf):
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], tolerance=86400.0, strategy="window",
+    )
+
+
+def rolling_7d_user_value(spark, sf):
+    e = load_table(spark, sf, "events")
+    out = rolling_agg(
+        e, "user_id", "ts",
+        {"roll_n": F.count(F.lit(1)),
+         "roll_cents": F.sum(_cents(F.col("value")))},
+        SEVEN_DAYS,
+    )
+    return out.select("event_id", "user_id", "roll_n", "roll_cents")
+
+
+def error_followup_count(spark, sf):
+    e = load_table(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    return range_join_count(
+        errors, e.select("user_id", "ts"), by="user_id",
+        left_ts="ts", right_ts="ts", window_seconds=3600,
+    ).select("event_id", "n_in_range")
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def doc_quality_metrics(spark, sf):
+    d = load_table(spark, sf, "documents")
+    out = with_quality_metrics(d, "text")
+    return out.select(
+        "doc_id", "n_tokens", "distinct_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+    )
+
+
+def token_counts_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return with_token_counts(d, "text").select("doc_id", "ws_tokens", "subword_tokens")
+
+
+def langid_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return with_langid(d, "text").groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def lyon_features_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    out = with_lyon_features(seqs)
+    return out.select(
+        "doc_id",
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+    )
+
+
+def embedding_norms_by_label(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+    return (
+        emb.withColumn("norm6", F.round(norm, 6))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm6"), 6).alias("avg_norm"),
+        )
+    )
+
+
+def ann_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# rows-only (no SQL oracle): sketches, fingerprints, ANN-approx, stubs
+def minhash_signatures_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return minhash_signatures(d, "text", "doc_id", num_perm=64)
+
+
+def simhash_signatures_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return simhash_signatures(d, "text", "doc_id")
+
+
+def fingerprint_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return with_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def ann_lsh_topk_docs(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = rp_lsh_topk(emb, queries, k=5, dim=64, n_bits=10, n_tables=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def pipeline_pointintime_features(spark, sf):
+    return _flagship(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "region_customer_stats": region_customer_stats,
+        "segment_customers_with_orders": segment_customers_with_orders,
+        "segment_customers_without_orders": segment_customers_without_orders,
+        "rollup_lineitem_status": rollup_lineitem_status,
+        "event_type_distinct_users": event_type_distinct_users,
+        "topk_orders_per_segment": topk_orders_per_segment,
+        "custkeys_1995_not_1996": custkeys_1995_not_1996,
+        "json_props_stats": json_props_stats,
+        "salted_join_quantity": salted_join_quantity,
+        "lag_lead_events": lag_lead_events,
+        "ffill_purchase_value": ffill_purchase_value,
+        "sessionize_events": sessionize_events,
+        "asof_purchase_before_view": asof_purchase_before_view,
+        "asof_tolerance_1d": asof_tolerance_1d,
+        "rolling_7d_user_value": rolling_7d_user_value,
+        "error_followup_count": error_followup_count,
+        "dedup_exact_docs": dedup_exact_docs,
+        "doc_quality_metrics": doc_quality_metrics,
+        "token_counts_docs": token_counts_docs,
+        "langid_docs": langid_docs,
+        "lyon_features_docs": lyon_features_docs,
+        "embedding_norms_by_label": embedding_norms_by_label,
+        "ann_cosine_topk": ann_cosine_topk,
+        "minhash_signatures_docs": minhash_signatures_docs,
+        "simhash_signatures_docs": simhash_signatures_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "ann_lsh_topk_docs": ann_lsh_topk_docs,
+        "pipeline_pointintime_features": pipeline_pointintime_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()
+}
+
+_LANGID_HITS = ", ".join(
+    f"len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL[lang]}))) AS h_{lang}"
+    for lang in sorted(STOPWORDS)
+)
+_LANGID_MAX = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(STOPWORDS)) + ")"
+_LANGID_CASE = (
+    "CASE WHEN " + _LANGID_MAX + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANGID_MAX} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    + " END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "region_customer_stats": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "segment_customers_with_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "segment_customers_without_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "rollup_lineitem_status": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "event_type_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "topk_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS INT) AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 3
+        """,
+        "custkeys_1995_not_1996": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   COUNT(k) AS n_k,
+                   CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+                   MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "salted_join_quantity": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "lag_lead_events": """
+            SELECT event_id, user_id,
+                   lag(value)  OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_t_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        """,
+        "ffill_purchase_value": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval_ffill
+            FROM events
+        """,
+        "sessionize_events": f"""
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "asof_purchase_before_view": """
+            SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+            ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "asof_tolerance_1d": """
+            SELECT event_id, user_id, ts,
+                   CASE WHEN pts IS NOT NULL AND epoch(ts) - epoch(pts) <= 86400.0
+                        THEN pval END AS last_purchase_value
+            FROM (
+                SELECT v.event_id, v.user_id, v.ts, p.ts AS pts, p.value AS pval
+                FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+                ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+                ON v.user_id = p.user_id AND v.ts >= p.ts
+            )
+        """,
+        "rolling_7d_user_value": f"""
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS roll_n,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS roll_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                         RANGE BETWEEN {SEVEN_DAYS} PRECEDING AND CURRENT ROW)
+        """,
+        "error_followup_count": """
+            SELECT e.event_id, COUNT(x.ts) AS n_in_range
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            LEFT JOIN events x
+              ON x.user_id = e.user_id
+             AND epoch(x.ts) > epoch(e.ts)
+             AND epoch(x.ts) <= epoch(e.ts) + 3600.0
+            GROUP BY e.event_id
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_quality_metrics": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens,
+                   ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
+                   ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS type_token_ratio
+            FROM documents
+        """,
+        "token_counts_docs": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS subword_tokens
+            FROM documents
+        """,
+        "langid_docs": f"""
+            WITH hits AS (SELECT doc_id, {_LANGID_HITS} FROM documents)
+            SELECT {_LANGID_CASE} AS lang_pred, COUNT(*) AS n_docs
+            FROM hits GROUP BY 1
+        """,
+        "lyon_features_docs": """
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS INT)) AS tokens
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, CAST(unnest(tokens) AS DOUBLE) AS x FROM seq
+            ), m AS (
+                SELECT doc_id, COUNT(*) AS n, AVG(x) AS mu FROM tok GROUP BY doc_id
+            ), c AS (
+                SELECT t.doc_id,
+                       any_value(m.n) AS n, any_value(m.mu) AS mu,
+                       SUM((t.x - m.mu) ^ 2) AS s2,
+                       SUM((t.x - m.mu) ^ 3) AS s3,
+                       SUM((t.x - m.mu) ^ 4) AS s4
+                FROM tok t JOIN m ON t.doc_id = m.doc_id
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   ROUND(mu, 6) AS mean,
+                   ROUND(CASE WHEN n >= 2 THEN sqrt(s2 / (n - 1)) ELSE 0.0 END, 6) AS stdev,
+                   ROUND(CASE WHEN s2 / n > 0 THEN (s3 / n) / ((s2 / n) ^ 1.5) ELSE 0.0 END, 6) AS skew,
+                   ROUND(CASE WHEN s2 / n > 0 THEN (s4 / n) / ((s2 / n) ^ 2) - 3.0 ELSE 0.0 END, 6) AS kurt
+            FROM c
+        """,
+        "embedding_norms_by_label": """
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(norm6), 6) AS avg_norm
+            FROM (
+                SELECT label,
+                       ROUND(sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm6
+                FROM embeddings
+            )
+            GROUP BY label
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_sum(list_transform(range(1, len(c.embedding) + 1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos_raw
+                FROM embeddings c, q
+                WHERE c.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+                SELECT query_id, vec_id, cos_raw,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,117 @@
+"""Lyon et al. (MNRAS 459:1104, 2016) statistical moments, vectorized.
+
+The reference computes, per candidate, the mean / standard deviation /
+skewness / excess kurtosis of (a) the integrated pulse profile and (b)
+the DM–SNR curve — 8 features per candidate (provenance: BASELINE.json
+north_star names "Lyon et al. profile/DM-curve moments"; SURVEY.md §2A
+A7; /root/reference was empty, see SURVEY.md §0).
+
+Conventions pinned here and in tests/oracle.py (SURVEY.md Appendix A):
+
+- mean       mu    = sum(x) / n
+- stdev      sigma = sqrt( sum((x-mu)^2) / (n-1) )        (ddof=1; 0.0 if n < 2)
+- skewness   g1    = m3 / m2**1.5                          (population moments,
+- ex-kurtosis k    = m4 / m2**2 - 3                         ddof=0 denominator;
+                                                            0.0 if m2 == 0)
+
+where m_k = sum((x-mu)**k) / n.
+
+Execution model: one Arrow batch at a time through a pandas UDF —
+NEVER per-row Python (north_star mandate).  Rows are grouped by array
+length inside the batch so each group is a dense (rows, len) float64
+matrix and every moment is a handful of vectorized numpy reductions.
+At 10^12 rows this is embarrassingly parallel: no shuffle, no state,
+pure map — the scan partitioning is the job partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LYON_FIELDS = ["mean", "stdev", "skew", "kurt"]
+
+LYON_STRUCT = T.StructType(
+    [T.StructField(name, T.DoubleType(), True) for name in LYON_FIELDS]
+)
+
+
+def moments_matrix(mat: np.ndarray) -> np.ndarray:
+    """Row-wise (mean, stdev, skew, kurt) for a dense 2-D float matrix.
+
+    Returns an (n_rows, 4) float64 array.  Pure numpy — no scipy (not
+    installed in this environment).
+    """
+    mat = np.asarray(mat, dtype=np.float64)
+    n = mat.shape[1]
+    mu = mat.mean(axis=1)
+    d = mat - mu[:, None]
+    d2 = d * d
+    m2 = d2.mean(axis=1)
+    m3 = (d2 * d).mean(axis=1)
+    m4 = (d2 * d2).mean(axis=1)
+
+    if n >= 2:
+        stdev = np.sqrt(d2.sum(axis=1) / (n - 1))
+    else:
+        stdev = np.zeros_like(mu)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skew = np.where(m2 > 0.0, m3 / np.power(m2, 1.5), 0.0)
+        kurt = np.where(m2 > 0.0, m4 / (m2 * m2) - 3.0, 0.0)
+    return np.column_stack([mu, stdev, skew, kurt])
+
+
+def moments_rows(arrays: "list[np.ndarray] | pd.Series") -> np.ndarray:
+    """(n, 4) moments for a sequence of 1-D arrays of varying length.
+
+    Groups rows by length so each group is processed as one dense
+    matrix (vectorized), then scatters results back into input order.
+    Empty/None arrays yield all-zero moments (defined convention).
+    """
+    if isinstance(arrays, pd.Series):
+        arrays = arrays.tolist()
+    n = len(arrays)
+    out = np.zeros((n, 4), dtype=np.float64)
+    by_len: dict[int, list[int]] = {}
+    for i, a in enumerate(arrays):
+        length = 0 if a is None else len(a)
+        by_len.setdefault(length, []).append(i)
+    for length, idxs in by_len.items():
+        if length == 0:
+            continue
+        mat = np.empty((len(idxs), length), dtype=np.float64)
+        for j, i in enumerate(idxs):
+            mat[j, :] = np.asarray(arrays[i], dtype=np.float64)
+        out[np.asarray(idxs), :] = moments_matrix(mat)
+    return out
+
+
+@F.pandas_udf(LYON_STRUCT)
+def lyon_moments_udf(tokens: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized Series[array] → DataFrame[mean,stdev,skew,kurt]."""
+    res = moments_rows(tokens)
+    return pd.DataFrame(res, columns=LYON_FIELDS)
+
+
+def lyon_moments(col: "Column | str") -> Column:
+    """Column expression: struct<mean,stdev,skew,kurt> of an array column."""
+    return lyon_moments_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def with_lyon_features(
+    df: DataFrame, tokens_col: str = "tokens", prefix: str = ""
+) -> DataFrame:
+    """Append the four Lyon moment columns computed from ``tokens_col``.
+
+    The token array itself is never mutated (per-row invariant:
+    exact token-array equality, BASELINE.json input_hint).
+    """
+    m = "_lyon_m"
+    out = df.withColumn(m, lyon_moments(tokens_col))
+    for name in LYON_FIELDS:
+        out = out.withColumn(prefix + name, F.col(f"{m}.{name}"))
+    return out.drop(m)

@@ -1,0 +1,119 @@
+"""Text-analysis functions for training-data curation, over the
+documents table.  All JVM built-ins unless noted; SQL-expressible
+variants are kept deliberately portable so the DuckDB differential
+oracle can reproduce them exactly.
+
+- quality metrics : token count, char stats, mean word length,
+  type-token ratio (all arithmetic over split()).
+- language ID     : stopword-hit heuristic over a tiny built-in
+  lexicon per language (deterministic; corpus langs: en es de fr zh).
+- fingerprinting  : rolling polynomial hash of the token stream
+  (Karp-Rabin), JVM fold via F.aggregate — content-defined document
+  fingerprint for shift-stable dedup.
+- token counting  : whitespace tokens + a BPE-ish subword estimate
+  (regex word-piece segmentation count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal stopword lexicons (public common words); enough for a
+# deterministic heuristic over the synthetic corpus
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def words_col(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arithmetic quality features (portable to ANSI SQL):
+
+    n_tokens, n_chars_text, mean_word_len, distinct_tokens,
+    type_token_ratio.  mean_word_len assumes single-space separation:
+    (len(text) - (n_tokens-1)) / n_tokens.
+    """
+    w = words_col(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("int"))
+        .withColumn("n_chars_text", n_chars.cast("int"))
+        .withColumn(
+            "mean_word_len",
+            ((n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")),
+        )
+        .withColumn("distinct_tokens", F.size(F.array_distinct(w)).cast("int"))
+        .withColumn(
+            "type_token_ratio",
+            F.size(F.array_distinct(w)).cast("double") / n_tokens.cast("double"),
+        )
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: predicted lang = argmax over languages
+    of (#tokens in that language's stopword list); deterministic
+    tie-break by language code order.  'und' when no list hits."""
+    w = words_col(text_col)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        hits = F.size(F.filter(w, lambda t: F.array_contains(lex, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max over struct(hits, lang): max hits, then max lang —
+    # flip: order langs desc so ties pick the FIRST alphabetically
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                s["hits"].alias("hits"),
+                (F.lit(0) - i).alias("tiebreak"),
+                s["lang"].alias("lang"),
+            )
+            for i, s in enumerate(scores)
+        ])
+    )
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Karp-Rabin rolling polynomial fingerprint of the token stream:
+    fp = fold(tokens, 0, (acc, t) -> (acc * 1000003 + h40(t)) mod 2^40)
+    where h40 = xxhash64 folded to 40 bits.  The modulus keeps every
+    intermediate < 2^60 so the fold is exact under ANSI arithmetic
+    (no wraparound/overflow) — a deterministic whole-document content
+    fingerprint (JVM fold, no shuffle)."""
+    mod = F.lit(1 << 40).cast("long")
+    w = words_col(text_col)
+    fp = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(t), mod), mod
+        ),
+    )
+    return df.withColumn(out_col, fp)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count estimate:
+    subwords = number of matches of a word-piece regex (runs of
+    letters up to length 4, digits, or single punctuation).  The regex
+    count is computed JVM-side via regexp_count (Spark 4)."""
+    w = words_col(text_col)
+    return (
+        df.withColumn("ws_tokens", F.size(w).cast("int"))
+        .withColumn(
+            "subword_tokens",
+            F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")).cast("int"),
+        )
+    )

@@ -1,0 +1,196 @@
+"""Point-in-time (as-of) join — the engine's core operator.
+
+Semantics (pinned to DuckDB's ASOF JOIN so the differential oracle is
+exact; SURVEY.md §7 M2): for each left row (entity, t), attach the
+single right row with the same entity and the greatest t_r satisfying
+
+    backward  (default): t_r <= t
+    forward            : t_r >= t   (smallest t_r)
+    nearest            : min |t_r - t|  (ties -> earlier right row)
+
+plus an optional ``tolerance`` in seconds (matches discarded when
+|t_r - t| > tolerance).  Zero temporal leakage is structural: a
+backward join can only ever read right rows with t_r <= t.
+
+Two interchangeable physical plans (cross-checked in tests, both
+single-shuffle):
+
+- ``strategy="window"``  — tag sides, unionByName, one window
+  ``partitionBy(entity).orderBy(ts, side)`` with
+  ``last(value, ignorenulls=True)`` over the preceding frame, keep left
+  rows.  All JVM: exchange + sort + window; whole-stage codegen'd
+  except nothing — no Python at all.  Scale note: ONE shuffle of
+  left+right by entity hash; skew on hot entities handled upstream via
+  salting (operators/salt.py) or AQE.
+
+- ``strategy="merge_asof"`` — co-partition both sides by entity hash,
+  per-group ``pd.merge_asof`` inside ``applyInPandas`` (Arrow-batched).
+  Exists to cross-validate the window plan and to support "nearest"
+  with complex tolerances; the window plan is the default.
+
+The reference has no joins at all (single-file for-loop; SURVEY.md
+§2A); this operator is the recast's new semantics mandated by
+BASELINE.json north_rule ("core operator is a sorted-merge as-of join
+over range-partitioned (entity, event_time) partitions").
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__asof_side"
+_RTS = "__asof_rts"
+
+
+def _normalize_cols(cols: "str | Iterable[str] | None") -> list[str]:
+    if cols is None:
+        return []
+    if isinstance(cols, str):
+        return [cols]
+    return list(cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: "str | Iterable[str]",
+    right_on: "str | None" = None,
+    direction: str = "backward",
+    tolerance: "float | None" = None,
+    value_cols: "Iterable[str] | None" = None,
+    strategy: str = "window",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """As-of join ``right`` onto ``left``.
+
+    Parameters
+    ----------
+    on / right_on : timestamp column on each side (right defaults to ``on``)
+    by            : entity key column(s)
+    value_cols    : right-side columns to attach (default: all non-key)
+    strategy      : "window" (default, pure JVM) or "merge_asof" (Arrow)
+
+    Output: every left row + attached right columns (null when no match
+    within direction/tolerance) — left-join semantics, row count
+    preserved.
+    """
+    by_cols = _normalize_cols(by)
+    r_on = right_on or on
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by_cols, r_on)]
+    value_cols = list(value_cols)
+
+    if direction == "nearest":
+        # pandas merge_asof implements nearest natively (backward row
+        # wins exact-distance ties); the window plan stays 2-directional.
+        return _asof_merge(left, right, on, r_on, by_cols, "nearest",
+                           tolerance, value_cols, num_partitions)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+
+    if strategy == "window":
+        return _asof_window(left, right, on, r_on, by_cols, direction,
+                            tolerance, value_cols)
+    if strategy == "merge_asof":
+        return _asof_merge(left, right, on, r_on, by_cols, direction,
+                           tolerance, value_cols, num_partitions)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
+                 value_cols) -> DataFrame:
+    l_cols = left.columns
+    # Tag sides; right contributes only (by, ts, values).
+    l_tagged = (left.withColumn(_SIDE, F.lit(1))
+                .withColumn(_RTS, F.lit(None).cast("timestamp")))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_proj = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(r_on).cast("timestamp").alias(on),
+        F.col(r_on).cast("timestamp").alias(_RTS),
+        *[F.col(c) for c in value_cols],
+    ).withColumn(_SIDE, F.lit(0))
+    unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (side 0 < 1):
+        # a right row at exactly t is visible to a left row at t
+        # (ties include t_r = t — DuckDB semantics).
+        w = (Window.partitionBy(*by_cols)
+             .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        # forward: right rows sort AFTER left rows at equal ts is wrong —
+        # a right row at exactly t must be visible, so order ts desc and
+        # right-first again; last() over preceding = smallest t_r >= t.
+        w = (Window.partitionBy(*by_cols)
+             .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+
+    filled = unioned
+    for c in value_cols + [_RTS]:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    out = filled.where(F.col(_SIDE) == 1)
+
+    if tolerance is not None:
+        # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+        delta = F.abs(F.col(on).cast("double") - F.col(_RTS).cast("double"))
+        out_of_tol = F.col(_RTS).isNull() | (delta > F.lit(float(tolerance)))
+        for c in value_cols:
+            out = out.withColumn(c, F.when(out_of_tol, F.lit(None)).otherwise(F.col(c)))
+    return out.select(*l_cols, *value_cols)
+
+
+def _asof_merge(left, right, on, r_on, by_cols, direction, tolerance,
+                value_cols, num_partitions) -> DataFrame:
+    """Range/hash co-partitioned pandas merge_asof plan.
+
+    Physical shape: both sides repartitioned by entity hash (one
+    shuffle each), cogrouped, per-group sorted merge in Arrow batches.
+    Group = one entity's rows — hot entities should be rare on the
+    right side (feature snapshots); pandas groups do not spill, hence
+    the window plan is the scale default (SURVEY.md §4).
+    """
+    from pyspark.sql import types as T
+
+    l_cols = left.columns
+    # copy: StructType.add mutates in place and df.schema is cached
+    out_schema = T.StructType(list(left.schema.fields))
+    for c in value_cols:
+        out_schema = out_schema.add(c, right.schema[c].dataType, True)
+
+    l_part = left
+    r_part = right.select(*by_cols, F.col(r_on).alias(r_on), *value_cols)
+    if num_partitions:
+        l_part = l_part.repartition(num_partitions, *by_cols)
+        r_part = r_part.repartition(num_partitions, *by_cols)
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        if rpdf.empty:
+            res = lpdf.copy()
+            for c in value_cols:
+                res[c] = None
+            return res[l_cols + value_cols]
+        rpdf = rpdf.sort_values(r_on, kind="mergesort").reset_index(drop=True)
+        tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+        res = pd.merge_asof(
+            lpdf, rpdf[[r_on] + value_cols],
+            left_on=on, right_on=r_on,
+            direction=direction, tolerance=tol,
+            allow_exact_matches=True,
+        )
+        return res[l_cols + value_cols]
+
+    return (
+        l_part.groupBy(*by_cols)
+        .cogroup(r_part.groupBy(*by_cols))
+        .applyInPandas(merge, schema=out_schema)
+    )

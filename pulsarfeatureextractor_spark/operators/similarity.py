@@ -1,0 +1,144 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``cosine_topk``      : brute-force exact baseline — broadcast the
+  query set, JVM-side dot product via zip_with/aggregate, per-query
+  top-k via WindowGroupLimit.  Cost O(|corpus| * |queries|) — the
+  exactness oracle and the right tool when |queries| is small.
+- ``rp_lsh_topk``      : scale path — random-hyperplane LSH (Charikar
+  2002).  Each vector gets `n_tables` bucket keys from `n_bits` signed
+  projections; candidates = bucket collisions in any table; exact
+  cosine re-rank on candidates only.  Shuffle is on bucket keys, and
+  recall is tunable via (n_bits, n_tables).
+
+Projections are seed-deterministic and shipped as literal arrays
+(driver-computed numpy, broadcast with the plan) — no Python at
+execution time for hashing: the projection dot products run in a
+single Arrow-vectorized pandas UDF (one matmul per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    queries: (query_id, embedding).  Physical plan: broadcast-nested-
+    loop of corpus x queries (queries are broadcast — keep them small),
+    then rank per query.  Row explosion |corpus|*|queries| — exact
+    baseline only.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cross = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(q))
+    scored = cross.where(F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _cosine_expr(
+            F.col("__cvec").cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _bucket_udf(dim: int, n_bits: int, n_tables: int, seed: int = 777):
+    """Arrow-vectorized: embedding -> array of n_tables bucket keys."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])  # (b, dim)
+        out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            proj = mat @ planes[t].T                 # (b, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            out[:, t] = bits @ weights + (t << 48)   # disjoint keyspace per table
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN: bucket-join candidates (any-table collision) + exact re-rank.
+
+    Output schema matches cosine_topk; rows per query may be < k when
+    recall misses (tunable).  Shuffles: corpus and queries each hashed
+    once on the bucket key — no |corpus| x |queries| blowup.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    bucketize = _bucket_udf(dim, n_bits, n_tables)
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
+        "__bucket", F.explode(bucketize(F.col("__cvec")))
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
+        "__bucket", F.explode(bucketize(F.col("__qvec")))
+    )
+    cand = (
+        c.join(q, "__bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _cosine_expr(
+            F.col("__cvec").cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

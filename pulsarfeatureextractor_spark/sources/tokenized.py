@@ -1,0 +1,148 @@
+"""Builders for the engine's authoritative input shape.
+
+BASELINE.json input_hint: an (Iceberg) table of pre-tokenized training
+sequences with EXACTLY (doc_id:string, tokens:array<int32>, n_tok:int32,
+source:string).  Three builders:
+
+- ``synthetic_sequences``    — seed-deterministic fixture (FIXTURES.md A1),
+  generated driver-side with numpy then parallelized via Arrow; used by
+  tests and the bench harness (scaled on the fly, never committed).
+- ``synthetic_snapshots``    — point-in-time right side for the as-of
+  join (FIXTURES.md A2).
+- ``documents_to_sequences`` — recasts the driver's documents table
+  into the hinted shape with a tokenizer that is also expressible in
+  ANSI SQL (token = length(word) mod 256), so the DuckDB differential
+  oracle can reproduce it bit-for-bit.
+
+``with_event_time`` derives the point-in-time axis deterministically
+from doc_id (the input table stays exactly the hinted 4-column shape;
+SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEQUENCES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+])
+
+SNAPSHOTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("obs_time", T.TimestampType(), False),
+    T.StructField("f_mean", T.DoubleType(), False),
+    T.StructField("f_std", T.DoubleType(), False),
+    T.StructField("f_skew", T.DoubleType(), False),
+    T.StructField("f_kurt", T.DoubleType(), False),
+    T.StructField("snapshot_id", T.LongType(), False),
+])
+
+_EPOCH = np.datetime64("2024-01-01T00:00:00")
+_WINDOW_SECONDS = 30 * 24 * 3600  # 30-day observation window
+
+
+def _sequences_pdf(n_rows: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
+    """Deterministic pandas frame of A1-shaped rows (numpy RNG, seed-pinned)."""
+    rng = np.random.default_rng(seed)
+    if skew:
+        # skew fixture: one hot doc_id owns ~50% of rows (FIXTURES.md A1)
+        hot = rng.random(n_rows) < 0.5
+        ids = rng.integers(0, max(n_rows // 2, 1), size=n_rows)
+        doc_ids = np.where(hot, "cand_hot", None)
+        doc_ids = [
+            "cand_hot" if h else f"cand_{i:08d}" for h, i in zip(hot, ids)
+        ]
+        src_idx = rng.zipf(1.5, size=n_rows) % 20
+    else:
+        ids = rng.integers(0, max(int(n_rows * 0.99), 1), size=n_rows)
+        doc_ids = [f"cand_{i:08d}" for i in ids]
+        src_idx = rng.integers(0, 20, size=n_rows)
+    lengths = rng.choice(np.array([64, 128], dtype=np.int32), size=n_rows)
+    flat = rng.integers(0, 256, size=int(lengths.sum()), dtype=np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    tokens = [flat[offsets[i]: offsets[i + 1]] for i in range(n_rows)]
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "tokens": tokens,
+        "n_tok": lengths.astype(np.int32),
+        "source": [f"src{int(s)}" for s in src_idx],
+    })
+
+
+def synthetic_sequences(
+    spark: SparkSession,
+    n_rows: int = 1000,
+    seed: int = 42,
+    skew: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Seed-deterministic sequences table in the exact hinted shape."""
+    pdf = _sequences_pdf(n_rows, seed=seed, skew=skew)
+    df = spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA)
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    return df
+
+
+def synthetic_snapshots(
+    spark: SparkSession, n_rows: int = 2000, n_docs: int = 300, seed: int = 43
+) -> DataFrame:
+    """A2 feature-snapshot table: irregular obs_time incl. exact ties."""
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, n_docs, size=n_rows)
+    secs = rng.integers(0, _WINDOW_SECONDS, size=n_rows)
+    # inject exact-tie timestamps for ~5% of rows (as-of tie semantics)
+    tie = rng.random(n_rows) < 0.05
+    secs = np.where(tie, (secs // 3600) * 3600, secs)
+    pdf = pd.DataFrame({
+        "doc_id": [f"cand_{i:08d}" for i in ids],
+        "obs_time": _EPOCH + secs.astype("timedelta64[s]"),
+        "f_mean": rng.normal(100, 10, n_rows),
+        "f_std": rng.uniform(1, 50, n_rows),
+        "f_skew": rng.normal(0, 1, n_rows),
+        "f_kurt": rng.normal(0, 2, n_rows),
+        "snapshot_id": rng.integers(1, 5, size=n_rows).astype(np.int64),
+    })
+    return spark.createDataFrame(pdf, schema=SNAPSHOTS_SCHEMA)
+
+
+def with_event_time(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Derive the deterministic point-in-time axis (SURVEY.md §1.2).
+
+    event_time = 2024-01-01 + (xxhash64(doc_id) mod 30 days) seconds.
+    Pure JVM expression (no Python), stable across engines runs, and
+    range-partitionable.  The stored table keeps the exact hinted shape;
+    this is computed, never stored.
+    """
+    epoch_2024 = 1704067200  # 2024-01-01T00:00:00Z
+    offset = F.pmod(F.xxhash64(F.col(doc_id)), F.lit(_WINDOW_SECONDS))
+    return df.withColumn(
+        "event_time", F.timestamp_seconds(F.lit(epoch_2024) + offset)
+    )
+
+
+def documents_to_sequences(documents: DataFrame) -> DataFrame:
+    """Recast the driver documents table into the hinted 4-column shape.
+
+    Tokenizer: split on single space; token id = length(word) mod 256,
+    cast int32.  Deliberately reproducible in ANSI SQL
+    (``list_transform(string_split(text,' '), w -> length(w) % 256)``)
+    so the DuckDB oracle computes identical token arrays — the
+    differential gate then covers the whole pipeline including
+    tokenization.  All JVM-side builtins; no Python.
+    """
+    words = F.split(F.col("text"), " ")
+    tokens = F.transform(words, lambda w: (F.length(w) % F.lit(256)).cast("int"))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col("source"),
+    )

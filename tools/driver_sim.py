@@ -1,0 +1,128 @@
+"""Simulate the driver's verify pass locally.
+
+Runs entry(spark) at sf0.001, then every queries() entry at sf0.01 and
+compares against oracle_sql() via DuckDB with the same strictness the
+driver uses: row count, column-name set, and ORDER-INSENSITIVE EXACT
+value comparison (floats must match bit-for-bit after the query's own
+rounding — that is the engine's float discipline).
+
+Usage: python tools/driver_sim.py [--sf-dir /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else tuple(v) if isinstance(v, list) else v
+            )
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(f"schema spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
+    if problems:
+        return problems
+    a, b = canon(spark_pdf), canon(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            eq = (av.astype(float).fillna(np.inf) == bv.astype(float).fillna(np.inf))
+        else:
+            eq = (av.fillna("__null__") == bv.fillna("__null__")) if av.dtype == object else (
+                av.isna() & bv.isna()) | (av == bv)
+        if not bool(eq.all()):
+            bad = int((~eq).sum())
+            i = int(np.argmax(~eq.to_numpy()))
+            problems.append(
+                f"col {c}: {bad} mismatches, first at row {i}: spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-entry", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as mod
+    from pulsarfeatureextractor_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+
+    if not args.skip_entry:
+        t0 = time.time()
+        edf = mod.entry(spark)
+        rows = edf.count()
+        print(f"entry(): {rows} rows, schema={edf.schema.simpleString()[:120]} [{time.time()-t0:.1f}s]")
+        assert rows > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    names = args.names or list(qs)
+    n_ok = n_bad = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{dt:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name} [{dt:.1f}s]")
+            for p in problems[:4]:
+                print(f"      {p}")
+            n_bad += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{dt:.1f}s]")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_rowsonly} rows-only, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
