@@ -1,0 +1,267 @@
+#!/usr/bin/env python
+"""Bench harness for the engine (driver contract).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the ``noop`` sink (full pipeline runs, no
+driver-side result transfer), so the measured time is scan + shuffle +
+compute — the same thing that matters on a 1000-executor cluster.
+
+Synthetic-scale benches (north-star metric, sequences/sec): the
+seed-deterministic tokenized table (FIXTURES.md A1) is generated at
+``$SPARK_GRAFT_BENCH_ROWS`` rows (default 1_000_000) and pushed through
+(a) the Lyon moment UDF alone, (b) the as-of join alone, and (c) the
+full point-in-time pipeline.
+
+``--scaling`` mode: re-executes the synthetic full pipeline in two
+fresh subprocesses at ``local[8]`` and ``local[32]`` on the SAME input
+and reports throughput at both plus efficiency = R32 / (4 * R8) — the
+sandbox stand-in for the north rule's N -> 4N executor gate (no real
+cluster available; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+
+# headline subset of __spark_entry__.queries(): one per operator family
+HEADLINE = [
+    "q1_pricing_summary",          # scan + hash agg
+    "revenue_by_nation",           # multi-join + broadcast
+    "topk_orders_per_segment",     # window ranking
+    "salted_join_quantity",        # skew-salted join
+    "asof_purchase_before_view",   # as-of join (core operator)
+    "sessionize_events",           # gap sessionization
+    "ffill_purchase_value",        # forward fill
+    "rolling_7d_user_value",       # range-frame rolling agg
+    "lyon_features_docs",          # Arrow-vectorized moment UDF
+    "dedup_exact_docs",            # exact dedup
+    "minhash_signatures_docs",     # MinHash sketch
+    "ann_cosine_topk",             # brute-force ANN
+    "pipeline_pointintime_features",  # flagship end-to-end
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting; return row count cheaply."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _bench_testdata(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _pipeline_from(seqs, snaps):
+    """scan -> event_time -> Lyon features -> as-of join vs snapshots."""
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
+
+    feats = with_lyon_features(with_event_time(seqs))
+    return asof_join(
+        feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
+    ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt",
+             "f_mean", "f_std")
+
+
+def _gen_input(spark, n_rows: int, out_dir: str) -> None:
+    """Materialize the seed-deterministic bench input ONCE as parquet.
+
+    JVM-only distributed generation (no driver-side pandas): the same
+    code would write 10^12 rows from a 1000-executor cluster.
+    """
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        synthetic_sequences_distributed,
+        synthetic_snapshots_distributed,
+    )
+
+    synthetic_sequences_distributed(spark, n_rows).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "sequences")
+    )
+    synthetic_snapshots_distributed(
+        spark, n_rows=max(n_rows // 10, 1000), n_docs=max(int(n_rows * 0.99), 1)
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "snapshots"))
+
+
+def _bench_synthetic(spark, n_rows: int) -> dict[str, float]:
+    import tempfile
+
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
+
+    tmp = tempfile.mkdtemp(prefix="bench_input_")
+    _gen_input(spark, n_rows, tmp)
+    seqs = with_event_time(spark.read.parquet(os.path.join(tmp, "sequences")))
+    snaps = spark.read.parquet(os.path.join(tmp, "snapshots"))
+
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _force(with_lyon_features(seqs).select("doc_id", "mean", "stdev", "skew", "kurt"))
+    out["synthetic_lyon_udf"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(asof_join(
+        seqs.select("doc_id", "event_time", "n_tok"), snaps,
+        on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean", "f_std"], strategy="window",
+    ))
+    out["synthetic_asof_join"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    feats = with_lyon_features(seqs)
+    _force(asof_join(
+        feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
+    ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt", "f_mean"))
+    out["synthetic_full_pipeline"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(cpus: int, n_rows: int, input_dir: str) -> dict:
+    """One full-pipeline run at a given parallelism over shared parquet input."""
+    from pulsarfeatureextractor_spark.session import get_spark
+    from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8),
+                      app_name=f"bench-scaling-{cpus}")
+
+    def build():
+        # fresh plan every run: re-executing the SAME DataFrame would
+        # silently reuse the previous run's shuffle files (map stages
+        # skipped) and fake the timing
+        seqs = with_event_time(spark.read.parquet(os.path.join(input_dir, "sequences")))
+        snaps = spark.read.parquet(os.path.join(input_dir, "snapshots"))
+        return _pipeline_from(seqs, snaps)
+
+    _force(build())  # warmup: JIT, Arrow python workers, page cache
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(build())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)  # min = least-noise estimator on a shared VM
+    spark.stop()
+    return {"cpus": cpus, "rows": n_rows, "sec": round(dt, 3),
+            "all_secs": [round(t, 3) for t in times],
+            "rows_per_sec": round(n_rows / dt, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="two-parallelism scaling probe (local[8] vs local[32])")
+    ap.add_argument("--scaling-child", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--input-dir", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--rows", type=int, default=BENCH_ROWS)
+    ap.add_argument("--trials", type=int, default=2,
+                    help="alternating trials per level in --scaling mode")
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        print(json.dumps(run_once(args.scaling_child, args.rows, args.input_dir)))
+        return
+
+    if args.scaling:
+        import tempfile
+
+        from pulsarfeatureextractor_spark.session import get_spark
+
+        input_dir = tempfile.mkdtemp(prefix="bench_scaling_input_")
+        gen = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
+        _gen_input(gen, args.rows, input_dir)
+        gen.stop()
+
+        import shutil
+
+        # Alternate levels across trials and take per-level minima: the
+        # sandbox is a shared VM with bursty co-tenant steal, so a single
+        # contiguous measurement window per level samples one noise
+        # regime.  Each trial is a fresh subprocess (clean JVM, no
+        # shuffle-file reuse); both levels read the SAME parquet files.
+        # taskset pins each level to exactly its core count — local[8]
+        # alone only caps task slots while GC/shuffle/python workers
+        # spill onto all 32 cores, overstating the small-cluster baseline.
+        runs: dict[int, list[dict]] = {8: [], 32: []}
+        for _trial in range(args.trials):
+            for cpus in (8, 32):
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--scaling-child", str(cpus), "--rows", str(args.rows),
+                       "--input-dir", input_dir]
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+                runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        results = {}
+        for cpus in (8, 32):
+            best = min(runs[cpus], key=lambda r: r["sec"])
+            best["all_trials"] = [r["sec"] for r in runs[cpus]]
+            results[f"local{cpus}"] = best
+        r8 = results["local8"]["rows_per_sec"]
+        r32 = results["local32"]["rows_per_sec"]
+        print(json.dumps({
+            "metric": "scaling_efficiency_local8_to_local32",
+            "value": round(r32 / (4 * r8), 3),
+            "unit": "ratio",
+            "queries": {"local8_rows_per_sec": r8, "local32_rows_per_sec": r32},
+            "sf": args.rows,
+            "detail": results,
+        }))
+        return
+
+    from pulsarfeatureextractor_spark.session import get_spark
+
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf_label)
+    except ValueError:
+        sf_num = sf_label
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    t_all = time.perf_counter()
+    queries = _bench_testdata(spark, SF_DIR)
+    queries.update(_bench_synthetic(spark, args.rows))
+    total = round(time.perf_counter() - t_all, 3)
+    seq_rate = round(args.rows / queries["synthetic_full_pipeline"], 1)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_num,
+        "synthetic_rows": args.rows,
+        "sequences_per_sec_full_pipeline": seq_rate,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,63 @@ def moments_rows(arrays: "list[np.ndarray] | pd.Series") -> np.ndarray:
     return out
 
 
+def moments_offsets(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Row-wise (mean, stdev, skew, kurt) from a FLAT value buffer.
+
+    ``values`` is the concatenation of all rows' arrays; ``offsets`` is
+    the (n_rows+1) Arrow-style offset vector.  No per-row Python objects
+    are ever created — this is the 10^12-row hot path (profiling showed
+    Arrow→pandas conversion of list columns, i.e. one numpy object per
+    row, costs ~10x the moment arithmetic itself).
+    """
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    out = np.zeros((n_rows, 4), dtype=np.float64)
+    valid = counts > 0
+    if not valid.any():
+        return out
+    x = np.asarray(values, dtype=np.float64)
+    idx = offsets[:-1][valid]
+    n = counts[valid].astype(np.float64)
+
+    mu = np.add.reduceat(x, idx) / n
+    # center: broadcast each row's mean over its elements
+    mu_full = np.zeros(n_rows, dtype=np.float64)
+    mu_full[valid] = mu
+    d = x - np.repeat(mu_full, counts)
+    d2 = d * d
+    m2 = np.add.reduceat(d2, idx) / n
+    m3 = np.add.reduceat(d2 * d, idx) / n
+    m4 = np.add.reduceat(d2 * d2, idx) / n
+
+    stdev = np.where(n >= 2, np.sqrt(m2 * n / np.maximum(n - 1, 1)), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skew = np.where(m2 > 0.0, m3 / np.power(m2, 1.5), 0.0)
+        kurt = np.where(m2 > 0.0, m4 / (m2 * m2) - 3.0, 0.0)
+
+    out[valid, 0] = mu
+    out[valid, 1] = stdev
+    out[valid, 2] = skew
+    out[valid, 3] = kurt
+    return out
+
+
+def moments_list_array(arr) -> np.ndarray:
+    """(n, 4) moments for a pyarrow List/LargeList array (no row objects)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # flatten() trims the child buffer to this array's slice; rebase offsets
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    values = np.asarray(arr.flatten())
+    out = moments_offsets(values, offsets)
+    if arr.null_count:
+        out[~np.asarray(arr.is_valid()), :] = 0.0
+    return out
+
+
 @F.pandas_udf(LYON_STRUCT)
 def lyon_moments_udf(tokens: pd.Series) -> pd.DataFrame:
     """Arrow-vectorized Series[array] → DataFrame[mean,stdev,skew,kurt]."""
@@ -107,11 +164,31 @@ def with_lyon_features(
 ) -> DataFrame:
     """Append the four Lyon moment columns computed from ``tokens_col``.
 
-    The token array itself is never mutated (per-row invariant:
-    exact token-array equality, BASELINE.json input_hint).
+    Physical plan: ``mapInArrow`` — each Arrow batch's list column is
+    consumed as (flat value buffer, offsets) and the four moments come
+    back as plain float64 arrays appended to the batch.  All other
+    columns pass through by reference (zero copy).  The token array
+    itself is never mutated (per-row invariant: exact token-array
+    equality, BASELINE.json input_hint).  Embarrassingly parallel —
+    no shuffle; the scan partitioning is the job partitioning.
     """
-    m = "_lyon_m"
-    out = df.withColumn(m, lyon_moments(tokens_col))
-    for name in LYON_FIELDS:
-        out = out.withColumn(prefix + name, F.col(f"{m}.{name}"))
-    return out.drop(m)
+    import pyarrow as pa
+
+    out_fields = list(df.schema.fields) + [
+        T.StructField(prefix + name, T.DoubleType(), True) for name in LYON_FIELDS
+    ]
+    out_schema = T.StructType(out_fields)
+    tok_col = tokens_col
+    names = [prefix + name for name in LYON_FIELDS]
+
+    def compute(batches):
+        for batch in batches:
+            moments = moments_list_array(batch.column(tok_col))
+            arrays = batch.columns + [
+                pa.array(moments[:, i], type=pa.float64()) for i in range(4)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=batch.schema.names + names
+            )
+
+    return df.mapInArrow(compute, out_schema)

@@ -113,6 +113,80 @@ def synthetic_snapshots(
     return spark.createDataFrame(pdf, schema=SNAPSHOTS_SCHEMA)
 
 
+def synthetic_sequences_distributed(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable A1-shaped generator: pure JVM expressions, zero Python.
+
+    ``spark.range`` gives a distributed id column; every other column is
+    a deterministic hash of (id, seed) — so the SAME table materializes
+    at any parallelism and any scale (10^12 rows on a cluster would be
+    ``spark.range(n, numPartitions=10^5)`` with identical semantics).
+    The driver-side pandas builder (``synthetic_sequences``) stays for
+    small oracle fixtures; THIS is the bench/scale path — a driver-side
+    generator is exactly the non-distributed bottleneck the engine bans.
+
+    tokens[i] = xxhash64(id, seed, i) mod 256; n_tok in {64, 128}.
+    """
+    if n_partitions is None:
+        n_partitions = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    base = spark.range(0, n_rows, numPartitions=n_partitions)
+    h = lambda *cols: F.xxhash64(*cols, F.lit(seed))  # noqa: E731
+    n_docs = max(int(n_rows * 0.99), 1)
+    n_tok = F.when(F.pmod(h(F.col("id"), F.lit("len")), F.lit(2)) == 0, 64).otherwise(128)
+    tokens = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok")),
+        lambda i: F.pmod(h(F.col("id"), i), F.lit(256)).cast("int"),
+    )
+    return (
+        base
+        .withColumn("n_tok", n_tok.cast("int"))
+        .select(
+            F.format_string(
+                "cand_%08d", F.pmod(h(F.col("id"), F.lit("doc")), F.lit(n_docs))
+            ).alias("doc_id"),
+            tokens.alias("tokens"),
+            "n_tok",
+            F.concat(
+                F.lit("src"), F.pmod(h(F.col("id"), F.lit("src")), F.lit(20))
+            ).alias("source"),
+        )
+    )
+
+
+def synthetic_snapshots_distributed(
+    spark: SparkSession,
+    n_rows: int,
+    n_docs: int,
+    seed: int = 43,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed A2-shaped feature-snapshot generator (JVM-only)."""
+    if n_partitions is None:
+        n_partitions = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    base = spark.range(0, n_rows, numPartitions=n_partitions)
+    h = lambda *cols: F.xxhash64(*cols, F.lit(seed))  # noqa: E731
+    unit = lambda tag: (  # deterministic uniform double in [0, 1)
+        F.pmod(h(F.col("id"), F.lit(tag)), F.lit(1 << 30)) / F.lit(float(1 << 30))
+    )
+    epoch_2024 = 1704067200
+    secs = F.pmod(h(F.col("id"), F.lit("obs")), F.lit(_WINDOW_SECONDS))
+    return base.select(
+        F.format_string(
+            "cand_%08d", F.pmod(h(F.col("id"), F.lit("doc")), F.lit(n_docs))
+        ).alias("doc_id"),
+        F.timestamp_seconds(F.lit(epoch_2024) + secs).alias("obs_time"),
+        (unit("m") * 20 + 90).alias("f_mean"),
+        (unit("s") * 49 + 1).alias("f_std"),
+        (unit("g") * 2 - 1).alias("f_skew"),
+        (unit("k") * 4 - 2).alias("f_kurt"),
+        (F.pmod(h(F.col("id"), F.lit("snap")), F.lit(4)) + 1).alias("snapshot_id"),
+    )
+
+
 def with_event_time(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     """Derive the deterministic point-in-time axis (SURVEY.md §1.2).
 
