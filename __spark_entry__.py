@@ -28,9 +28,16 @@ from pulsarfeatureextractor_spark.functions.text import (
     with_token_counts,
 )
 from pulsarfeatureextractor_spark.operators.asof import asof_join
+from pulsarfeatureextractor_spark.functions.scores import (
+    with_profile_stats_sql,
+    with_thornton_scores,
+)
 from pulsarfeatureextractor_spark.operators.dedup import (
     exact_dedup,
+    minhash_lsh_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from pulsarfeatureextractor_spark.operators.rangejoin import range_join_count
@@ -383,7 +390,50 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+def ngram_jaccard_pairs_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def profile_stats_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    out = with_profile_stats_sql(seqs)
+    return out.select(
+        "doc_id",
+        F.round("sn_ratio", 6).alias("sn_ratio"),
+        F.round("peak_offset", 6).alias("peak_offset"),
+    )
+
+
 # rows-only (no SQL oracle): sketches, fingerprints, ANN-approx, stubs
+def thornton_scores_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    out = with_thornton_scores(seqs)
+    return out.select(
+        "doc_id",
+        *[F.round(c, 6).alias(c) for c in (
+            "sin_chi2", "sin2_chi2", "gauss_chi2", "gauss_amp", "gauss_fwhm",
+            "n_peaks", "sn_ratio", "hist_dist", "peak_offset", "quad_chi2")],
+    )
+
+
+def minhash_lsh_pairs_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, threshold=0.7
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def simhash_pairs_docs(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
 def minhash_signatures_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return minhash_signatures(d, "text", "doc_id", num_perm=64)
@@ -439,6 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": token_counts_docs,
         "langid_docs": langid_docs,
         "lyon_features_docs": lyon_features_docs,
+        "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+        "profile_stats_docs": profile_stats_docs,
+        "thornton_scores_docs": thornton_scores_docs,
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_norms_by_label": embedding_norms_by_label,
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_signatures_docs": minhash_signatures_docs,
@@ -676,6 +731,51 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN s2 / n > 0 THEN (s3 / n) / ((s2 / n) ^ 1.5) ELSE 0.0 END, 6) AS skew,
                    ROUND(CASE WHEN s2 / n > 0 THEN (s4 / n) / ((s2 / n) ^ 2) - 3.0 ELSE 0.0 END, 6) AS kurt
             FROM c
+        """,
+        "ngram_jaccard_pairs_docs": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))) AS s
+                FROM ws
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sz x ON id_a = x.doc_id
+            JOIN sz y ON id_b = y.doc_id
+            WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+        """,
+        "profile_stats_docs": """
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS INT)) AS tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(tokens) AS INT) AS n,
+                       CAST(list_sum(list_transform(tokens, v -> CAST(v AS DOUBLE))) AS DOUBLE) AS s1,
+                       CAST(list_sum(list_transform(tokens, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS DOUBLE) AS s2,
+                       CAST(list_max(tokens) AS DOUBLE) AS mx,
+                       CAST(list_indexof(tokens, list_max(tokens)) AS INT) AS pos
+                FROM seq
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) > 0
+                              THEN (mx - s1/n) / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                              ELSE 0.0 END, 6) AS sn_ratio,
+                   ROUND(((pos - 1) - n / 2.0) / n, 6) AS peak_offset
+            FROM s
         """,
         "embedding_norms_by_label": """
             SELECT label, COUNT(*) AS n_vecs,

@@ -1,0 +1,227 @@
+"""Thornton-style candidate scores (1-D curve subset), vectorized.
+
+The reference's second feature family: per-candidate "scores" over the
+integrated profile / DM curve — curve-fit chi-squares (sine, sine²,
+Gaussian), peak counts, S/N, histogram distance, peak offset
+(provenance: BASELINE.json north_star "Thornton-style candidate
+scores"; published descriptions in Thornton 2013 PhD thesis and
+Bates et al. 2012, MNRAS 427:1052; /root/reference was empty, see
+SURVEY.md §0 — formulas follow the published definitions).
+
+Implemented as the same zero-object Arrow-batch pattern as
+functions/moments.py: rows are grouped by array length inside each
+batch, every group becomes one dense (rows, n) float64 matrix, and all
+fits are SHARED-DESIGN-MATRIX least squares:
+
+- sine / sine² fits are linear in a fixed Fourier basis -> one
+  ``np.linalg.lstsq`` call per length-group fits EVERY row at once
+  (multiple right-hand sides);
+- the Gaussian fit is nonlinear in (center, width); we roll each
+  profile so its peak sits at n/2 (gather by index — vectorized), which
+  pins the center, then grid over a handful of widths, each width again
+  a shared-design linear solve for (amplitude, offset).  No scipy.
+
+Scale shape: pure map over batches — no shuffle, no state; the scan
+partitioning is the job partitioning, identical to the Lyon moments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCORE_FIELDS = [
+    "sin_chi2",      # chi2/n of best-fit sine (fundamental) to the normalized profile
+    "sin2_chi2",     # chi2/n of best-fit sine-squared (2nd harmonic basis)
+    "gauss_chi2",    # chi2/n of best grid Gaussian fit
+    "gauss_amp",     # fitted Gaussian amplitude
+    "gauss_fwhm",    # fitted Gaussian FWHM in phase bins
+    "n_peaks",       # local maxima above mean + 2*sigma (circular)
+    "sn_ratio",      # (max - mean) / sigma_pop
+    "hist_dist",     # L1 distance profile-histogram vs its Gaussian pdf
+    "peak_offset",   # (argmax - n/2) / n, in [-0.5, 0.5)
+    "quad_chi2",     # chi2/n of quadratic fit in a window around the peak
+]
+
+_WIDTH_FRACS = (1 / 64, 1 / 32, 1 / 16, 1 / 8, 1 / 4)  # FWHM grid / n
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    lo = mat.min(axis=1, keepdims=True)
+    hi = mat.max(axis=1, keepdims=True)
+    rng = np.where(hi > lo, hi - lo, 1.0)
+    return (mat - lo) / rng
+
+
+def _lstsq_chi2(A: np.ndarray, Y: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Fit Y (rows, n) ~= A (n, k) @ beta per row; return (beta, chi2/n)."""
+    beta, *_ = np.linalg.lstsq(A, Y.T, rcond=None)  # (k, rows)
+    resid = Y - (A @ beta).T
+    return beta, (resid * resid).mean(axis=1)
+
+
+def scores_matrix(mat: np.ndarray) -> np.ndarray:
+    """Row-wise Thornton-style scores for a dense (rows, n) matrix."""
+    mat = np.asarray(mat, dtype=np.float64)
+    rows, n = mat.shape
+    out = np.zeros((rows, len(SCORE_FIELDS)), dtype=np.float64)
+    if n < 4:
+        return out
+
+    mu = mat.mean(axis=1)
+    sigma = mat.std(axis=1)  # population
+    p = _normalize(mat)
+    k = np.arange(n)
+    theta = 2.0 * np.pi * k / n
+
+    # sine fit: basis [sin, cos, 1] (free phase via sin+cos)
+    A1 = np.column_stack([np.sin(theta), np.cos(theta), np.ones(n)])
+    _, sin_chi2 = _lstsq_chi2(A1, p)
+    # sine^2 fit: sin^2(θ+φ) spans {cos 2θ, sin 2θ, 1}
+    A2 = np.column_stack([np.sin(2 * theta), np.cos(2 * theta), np.ones(n)])
+    _, sin2_chi2 = _lstsq_chi2(A2, p)
+
+    # roll every profile so its argmax sits at n//2 -> shared Gaussian center
+    amax = mat.argmax(axis=1)
+    shift = (n // 2) - amax
+    gather = (k[None, :] - shift[:, None]) % n
+    rolled = np.take_along_axis(p, gather, axis=1)
+
+    best_chi2 = np.full(rows, np.inf)
+    best_amp = np.zeros(rows)
+    best_w = np.zeros(rows)
+    d = k - (n // 2)
+    for frac in _WIDTH_FRACS:
+        fwhm = max(frac * n, 1.0)
+        s = fwhm / 2.3548200450309493  # FWHM -> sigma
+        g = np.exp(-0.5 * (d / s) ** 2)
+        Ag = np.column_stack([g, np.ones(n)])
+        beta, chi2 = _lstsq_chi2(Ag, rolled)
+        better = chi2 < best_chi2
+        best_chi2 = np.where(better, chi2, best_chi2)
+        best_amp = np.where(better, beta[0], best_amp)
+        best_w = np.where(better, fwhm, best_w)
+
+    # peaks above mean + 2 sigma (circular neighbors)
+    thr = (mu + 2.0 * sigma)[:, None]
+    left = np.roll(mat, 1, axis=1)
+    right = np.roll(mat, -1, axis=1)
+    n_peaks = ((mat > thr) & (mat > left) & (mat > right)).sum(axis=1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sn = np.where(sigma > 0, (mat.max(axis=1) - mu) / sigma, 0.0)
+
+    # histogram (10 bins over [0,1]) vs Gaussian pdf of the profile's own
+    # normalized mean/sigma — L1 distance of the two mass vectors
+    bins = np.clip((p * 10).astype(np.int64), 0, 9)
+    flat = bins + 10 * np.arange(rows)[:, None]
+    counts = np.bincount(flat.ravel(), minlength=rows * 10).reshape(rows, 10) / n
+    centers = (np.arange(10) + 0.5) / 10
+    pmu = p.mean(axis=1)[:, None]
+    psd = np.maximum(p.std(axis=1)[:, None], 1e-9)
+    pdf = np.exp(-0.5 * ((centers[None, :] - pmu) / psd) ** 2)
+    tot = pdf.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore"):
+        pdf = np.where(tot > 0, pdf / np.where(tot > 0, tot, 1.0), 0.0)
+    hist_dist = np.where(
+        tot[:, 0] > 0, np.abs(counts - pdf).sum(axis=1), 0.0
+    )
+
+    peak_offset = (amax - (n / 2.0)) / n
+
+    # quadratic fit in a +/- n//8 window around the (rolled) peak
+    half = max(n // 8, 2)
+    win = slice(n // 2 - half, n // 2 + half + 1)
+    xq = d[win].astype(np.float64)
+    Aq = np.column_stack([xq * xq, xq, np.ones_like(xq)])
+    _, quad_chi2 = _lstsq_chi2(Aq, rolled[:, win])
+
+    out[:, 0] = sin_chi2
+    out[:, 1] = sin2_chi2
+    out[:, 2] = best_chi2
+    out[:, 3] = best_amp
+    out[:, 4] = best_w
+    out[:, 5] = n_peaks
+    out[:, 6] = sn
+    out[:, 7] = hist_dist
+    out[:, 8] = peak_offset
+    out[:, 9] = quad_chi2
+    return out
+
+
+def scores_list_array(arr) -> np.ndarray:
+    """(n, len(SCORE_FIELDS)) scores for a pyarrow list array.
+
+    Groups rows by length (dense matrices), scatters back into input
+    order; empty/null rows yield all-zero scores.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    values = np.asarray(arr.flatten(), dtype=np.float64)
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    out = np.zeros((n_rows, len(SCORE_FIELDS)), dtype=np.float64)
+    for length in np.unique(counts):
+        if length < 4:
+            continue
+        idxs = np.nonzero(counts == length)[0]
+        starts = offsets[:-1][idxs]
+        gather = starts[:, None] + np.arange(length)[None, :]
+        out[idxs, :] = scores_matrix(values[gather])
+    if arr.null_count:
+        out[~np.asarray(arr.is_valid()), :] = 0.0
+    return out
+
+
+def with_thornton_scores(
+    df: DataFrame, tokens_col: str = "tokens", prefix: str = ""
+) -> DataFrame:
+    """Append the Thornton-style score columns (mapInArrow, zero-object)."""
+    import pyarrow as pa
+
+    out_fields = list(df.schema.fields) + [
+        T.StructField(prefix + name, T.DoubleType(), True) for name in SCORE_FIELDS
+    ]
+    out_schema = T.StructType(out_fields)
+    names = [prefix + name for name in SCORE_FIELDS]
+
+    def compute(batches):
+        for batch in batches:
+            scores = scores_list_array(batch.column(tokens_col))
+            arrays = batch.columns + [
+                pa.array(scores[:, i], type=pa.float64())
+                for i in range(len(SCORE_FIELDS))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=batch.schema.names + names
+            )
+
+    return df.mapInArrow(compute, out_schema)
+
+
+def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """SQL-expressible subset of the scores, computed ENTIRELY JVM-side.
+
+    sn_ratio / peak_offset / n_tok via built-in higher-order functions —
+    no Python boundary at all; serves as the DuckDB-differential slice
+    of the score family (the fits above are not SQL-expressible).
+    """
+    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
+    n = F.size(F.col(tokens_col))
+    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    mu = s1 / n
+    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    var_pop = s2 / n - mu * mu
+    sigma = F.sqrt(F.greatest(var_pop, F.lit(0.0)))
+    mx = F.array_max(x)
+    amax = F.array_position(x, mx)  # 1-based first occurrence
+    return (
+        df.withColumn("sn_ratio", F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0)))
+        .withColumn("peak_offset", ((amax - 1) - n / F.lit(2.0)) / n)
+    )

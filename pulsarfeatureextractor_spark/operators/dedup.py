@@ -188,9 +188,10 @@ def simhash_pairs(
     sig = simhash_signatures(df, text_col, id_col, shingle_n)
 
     block_idx = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk")
+    # shiftright() only takes a literal bit count — use the SQL operator
+    # for the per-row variable shift
     blocked = sig.select(F.col(id_col), F.col("simhash"), block_idx).withColumn(
-        "blk_val",
-        F.shiftright(F.col("simhash"), F.col("blk") * 16).bitwiseAND(F.lit(0xFFFF)),
+        "blk_val", F.expr("(simhash >> (blk * 16)) & 65535")
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
