@@ -1,0 +1,145 @@
+"""Structured Streaming mirrors of the batch operators.
+
+The reference is strictly offline (one directory walk per run;
+SURVEY.md §3.1) — these mirrors exist because the engine's recast
+(point-in-time feature store) has a natural online counterpart: the
+same windowed/sessionized features maintained incrementally.
+
+Design rules:
+
+- every mirror is the SAME logical computation as its batch twin
+  (tests assert equality under trigger(availableNow) replay);
+- state is bounded by watermarks (X2) — at 10^12-row scale the state
+  store is the scaling limit, so session/ffill state carries only the
+  columns it must;
+- the Python boundary stays Arrow-vectorized (mapInArrow /
+  applyInPandasWithState) exactly like the batch side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events_from_table(
+    spark: SparkSession, path: str, max_files_per_trigger: "int | None" = None
+) -> DataFrame:
+    """File-source replay of an events parquet dir (X1).
+
+    ``trigger(availableNow=True)`` downstream turns this into a
+    deterministic "process everything then stop" run — the test bridge
+    between batch and streaming semantics.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """X3: watermarked tumbling-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """X3/W5: gap-based session windows per user (session_window agg).
+
+    The streaming twin of operators/sessionize.py — same gap semantics,
+    maintained incrementally with watermark-bounded state.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+_FFILL_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("pval_ffill", T.DoubleType()),
+])
+
+_FFILL_STATE = T.StructType([T.StructField("last_val", T.DoubleType())])
+
+
+def streaming_ffill_state(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """X4: stateful forward-fill of the last purchase value per user.
+
+    ``applyInPandasWithState`` — state is ONE double per user (the last
+    observed purchase value), the minimal-state realization of the
+    batch ffill window (operators/windows.py).  Batches for a key are
+    sorted on event time before folding, so within-trigger order is
+    deterministic.
+    """
+
+    def fold(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            pval = pdf["value"].where(pdf["event_type"] == "purchase")
+            filled = pval.ffill()
+            if last is not None:
+                filled = filled.fillna(last)
+            nonnull = pval.dropna()
+            if len(nonnull):
+                last = float(nonnull.iloc[-1])
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "pval_ffill": filled,
+            })
+        state.update((last,))
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold, _FFILL_OUT, _FFILL_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_lyon_features(stream: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Stateless streaming feature extraction: the batch mapInArrow
+    moment path applied to a stream — identical code, identical plan
+    shape (pure map, no state)."""
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+
+    return with_lyon_features(stream, tokens_col)

@@ -1,0 +1,128 @@
+"""Streaming mirrors == batch twins under availableNow replay.
+
+Each test replays a parquet events table through the streaming
+operator with trigger(availableNow=True) into a memory sink and
+asserts equality with the batch computation on the same input.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pulsarfeatureextractor_spark.streaming.mirror import (
+    stream_events_from_table,
+    streaming_ffill_state,
+    streaming_lyon_features,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # single output file -> deterministic intra-key order for the
+    # stateful ffill replay
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    # declared schema (TimestampType, not inferred NTZ) — matches the
+    # streaming reader's EVENTS_SCHEMA
+    load_table(spark, SF, "events").coalesce(1).write.parquet(out)
+    return out
+
+
+def _run(stream_df, name, spark, ckpt_dir, mode="append"):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", f"{ckpt_dir}/{name}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+def _canon(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_streaming_tumbling_counts_match_batch(spark, events_dir, tmp_path):
+    stream = stream_events_from_table(spark, events_dir)
+    got = _run(streaming_tumbling_counts(stream), "t_tumble", spark,
+               str(tmp_path), mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+                "event_type", "n_events", "sum_value")
+        .toPandas()
+    )
+    a, b = _canon(got), _canon(batch)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_sessions_match_batch_session_window(spark, events_dir, tmp_path):
+    stream = stream_events_from_table(spark, events_dir)
+    got = _run(streaming_session_windows(stream, gap="30 minutes"), "t_sess",
+               spark, str(tmp_path), mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(batch), check_dtype=False)
+
+
+def test_streaming_sessions_match_batch_sessionize_operator(spark, events_dir, tmp_path):
+    """The streaming session_window agg and the batch lag/cumsum
+    sessionize operator agree on (start, end, n_events) per session."""
+    from pulsarfeatureextractor_spark.operators.sessionize import session_aggregates
+
+    stream = stream_events_from_table(spark, events_dir)
+    got = _run(streaming_session_windows(stream, gap="30 minutes"), "t_sess2",
+               spark, str(tmp_path), mode="complete")
+    batch = (
+        session_aggregates(spark.read.parquet(events_dir), "user_id", "ts", 1800.0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(batch), check_dtype=False)
+
+
+def test_streaming_ffill_matches_batch_ffill(spark, events_dir, tmp_path):
+    from pulsarfeatureextractor_spark.operators.windows import ffill
+
+    stream = stream_events_from_table(spark, events_dir)
+    got = _run(streaming_ffill_state(stream), "t_ffill", spark, str(tmp_path))
+
+    e = spark.read.parquet(events_dir)
+    v = e.withColumn("pval", F.when(F.col("event_type") == "purchase", F.col("value")))
+    batch = (ffill(v, "user_id", "ts", ["pval"])
+             .select("user_id", "event_id", "ts", F.col("pval").alias("pval_ffill"))
+             .toPandas())
+    a, b = _canon(got), _canon(batch)
+    assert len(a) == len(b)
+    assert np.allclose(a["pval_ffill"].fillna(-1), b["pval_ffill"].fillna(-1))
+
+
+def test_streaming_lyon_features_match_batch(spark, tmp_path):
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    seq_dir = str(tmp_path / "seqs")
+    synthetic_sequences(spark, 300, seed=9).write.parquet(seq_dir)
+    static = spark.read.parquet(seq_dir)
+    stream = spark.readStream.schema(static.schema).parquet(seq_dir)
+    got = _run(streaming_lyon_features(stream), "t_lyon", spark, str(tmp_path))
+    batch = with_lyon_features(static).toPandas()
+    cols = ["doc_id", "n_tok", "mean", "stdev", "skew", "kurt"]
+    a, b = _canon(got[cols]), _canon(batch[cols])
+    assert np.allclose(a[["mean", "stdev", "skew", "kurt"]],
+                       b[["mean", "stdev", "skew", "kurt"]], rtol=1e-9)
