@@ -460,6 +460,36 @@ def ann_lsh_topk_docs(spark, sf):
     )
 
 
+def media_stats_summary(spark, sf):
+    """Multimodal: JVM-only binary-column stats on the deterministic
+    synthetic media table (no codec libs in container; decode kernels
+    are injection-gated — see functions/multimodal.py)."""
+    from pulsarfeatureextractor_spark.functions.multimodal import (
+        synthetic_media,
+        with_media_stats,
+    )
+
+    m = with_media_stats(synthetic_media(spark, 300))
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("aspect"), 6).alias("avg_aspect"),
+    )
+
+
+def media_frame_samples(spark, sf):
+    from pulsarfeatureextractor_spark.functions.multimodal import (
+        frame_sample,
+        synthetic_media,
+    )
+
+    frames = frame_sample(synthetic_media(spark, 300), every_k=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+    )
+
+
 def pipeline_pointintime_features(spark, sf):
     return _flagship(spark, sf)
 
@@ -500,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures_docs": simhash_signatures_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk_docs": ann_lsh_topk_docs,
+        "media_stats_summary": media_stats_summary,
+        "media_frame_samples": media_frame_samples,
         "pipeline_pointintime_features": pipeline_pointintime_features,
     }
 
