@@ -150,8 +150,14 @@ def run_once(cpus: int, n_rows: int, input_dir: str) -> dict:
     from pulsarfeatureextractor_spark.session import get_spark
     from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
 
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        # shuffle through tmpfs: the sandbox's VM block device is not
+        # representative of cluster-local NVMe; shuffle I/O on it is a
+        # fixed serial cost that poisons the scaling measurement
+        extra["spark.local.dir"] = "/dev/shm/spark_bench"
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8),
-                      app_name=f"bench-scaling-{cpus}")
+                      app_name=f"bench-scaling-{cpus}", extra_confs=extra)
 
     def build():
         # fresh plan every run: re-executing the SAME DataFrame would

@@ -1,0 +1,73 @@
+"""End-to-end job CLI: snapshot in -> resumable lineage-carrying features out."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, tmp_path_factory):
+    from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    d = str(tmp_path_factory.mktemp("job") / "table")
+    IcebergLikeTable(d).write(
+        synthetic_sequences(spark, 500, seed=13), partition_by=["source"]
+    )
+    return d
+
+
+def test_job_end_to_end(spark, table_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import extract_features
+
+    out = str(tmp_path / "out")
+    res = extract_features.main([
+        "--input", table_dir, "--output", out,
+        "--asof", "2024-01-20T00:00:00", "--scores",
+        "--batch-size", "5",
+    ])
+    assert len(res["written"]) > 0
+    feat = spark.read.parquet(out)
+    cols = set(feat.columns)
+    assert {"mean", "stdev", "skew", "kurt", "sin_chi2", "session_id",
+            "f_mean_obs", "mean_lag1"} <= cols
+    assert "tokens" not in cols
+    # leakage guard: nothing after the as-of instant
+    from pyspark.sql import functions as F
+    assert feat.where(F.col("event_time") > "2024-01-20T00:00:00").count() == 0
+    # lineage sidecar present and names the input snapshot
+    srcs = [p for p in os.listdir(out) if p.startswith("source=")]
+    side = json.load(open(os.path.join(out, srcs[0], "_lineage.json")))
+    assert side["snapshot_id"] == 1 and side["input_manifest"]
+
+    # rerun: everything skipped (checkpoint complete)
+    res2 = extract_features.main([
+        "--input", table_dir, "--output", out,
+        "--asof", "2024-01-20T00:00:00", "--scores",
+        "--batch-size", "5",
+    ])
+    assert res2["written"] == []
+
+
+@pytest.mark.slow
+def test_job_via_spark_submit(table_dir, tmp_path):
+    """The literal deployment path: spark-submit --py-files."""
+    spark_submit = "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this machine")
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "jobs/extract_features.py",
+         "--input", table_dir, "--output", out, "--gap-seconds", "1800"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"status": "ok"' in proc.stdout
+    assert os.path.isdir(out)
