@@ -390,6 +390,26 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+def grouped_moments_event_k(spark, sf):
+    """Per-event_type moments of the integer props.k series via the
+    grouped-map moment UDAF (exact integer power sums; pinned float
+    expression order mirrored by the DuckDB oracle)."""
+    from pulsarfeatureextractor_spark.functions.moments import grouped_moments
+
+    e = load_table(spark, sf, "events")
+    k = e.select(
+        "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    out = grouped_moments(k, "event_type", "k")
+    return out.select(
+        "event_type", "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+    )
+
+
 def ngram_jaccard_pairs_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
@@ -506,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_segment": topk_orders_per_segment,
         "custkeys_1995_not_1996": custkeys_1995_not_1996,
         "json_props_stats": json_props_stats,
+        "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
@@ -763,6 +784,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN s2 / n > 0 THEN (s3 / n) / ((s2 / n) ^ 1.5) ELSE 0.0 END, 6) AS skew,
                    ROUND(CASE WHEN s2 / n > 0 THEN (s4 / n) / ((s2 / n) ^ 2) - 3.0 ELSE 0.0 END, 6) AS kurt
             FROM c
+        """,
+        "grouped_moments_event_k": """
+            WITH kk AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS INT) AS k
+                FROM events
+            ), s AS (
+                SELECT event_type,
+                       COUNT(k) AS n,
+                       CAST(SUM(CAST(k AS BIGINT)) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(k AS BIGINT) * k) AS DOUBLE) AS s2,
+                       CAST(SUM(CAST(k AS BIGINT) * k * k) AS DOUBLE) AS s3,
+                       CAST(SUM(CAST(k AS BIGINT) * k * k * k) AS DOUBLE) AS s4
+                FROM kk GROUP BY event_type
+            ), m AS (
+                SELECT event_type, n, s1/n AS mu,
+                       s2/n - (s1/n)*(s1/n) AS m2,
+                       s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3c,
+                       s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4c,
+                       s2, s3, s4
+                FROM s
+            )
+            SELECT event_type, n,
+                   ROUND(mu, 6) AS mean,
+                   ROUND(CASE WHEN n >= 2 THEN sqrt(m2 * n / (n - 1)) ELSE 0.0 END, 6) AS stdev,
+                   ROUND(CASE WHEN m2 > 0 THEN m3c / (m2 ^ 1.5) ELSE 0.0 END, 6) AS skew,
+                   ROUND(CASE WHEN m2 > 0 THEN m4c / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurt
+            FROM m
         """,
         "ngram_jaccard_pairs_docs": """
             WITH ws AS (

@@ -159,6 +159,62 @@ def lyon_moments(col: "Column | str") -> Column:
     return lyon_moments_udf(F.col(col) if isinstance(col, str) else col)
 
 
+def grouped_moments(
+    df: DataFrame, group_cols: "list[str] | str", value_col: str
+) -> DataFrame:
+    """Per-GROUP moments of a scalar integer series (SURVEY.md G4/V4).
+
+    The grouped-map twin of the per-row array moments: one Arrow batch
+    per group through ``applyInPandas``.  The series must be integral —
+    power sums are accumulated exactly (python ints), then converted to
+    the reported moments with a PINNED float expression order that the
+    DuckDB differential oracle mirrors token-for-token, so results are
+    bit-identical across engines:
+
+        mu   = s1/n
+        m2   = s2/n - mu*mu
+        m3c  = s3/n - 3*mu*(s2/n) + 2*mu*mu*mu
+        m4c  = s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*mu*mu*mu*mu
+        stdev= sqrt(m2*n/(n-1));  skew = m3c/m2^1.5;  kurt = m4c/m2^2-3
+
+    Scale: partial aggregation does NOT apply to grouped-map UDFs — at
+    10^12 rows prefer the pure-SQL power-sum formulation (same formulas
+    via groupBy().agg(sum(pow(...)))); this UDAF exists for parity with
+    the reference's per-set statistics and as the V4 pattern exemplar.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [T.StructField("n", T.LongType())]
+        + [T.StructField(name, T.DoubleType()) for name in LYON_FIELDS]
+    )
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].dropna().astype(np.int64).to_numpy()
+        n = len(x)
+        row = dict(zip(group_cols, key))
+        row["n"] = n
+        if n == 0:
+            row.update({f: 0.0 for f in LYON_FIELDS})
+            return pd.DataFrame([row])
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        s3 = int((x * x * x).sum())
+        s4 = int((x * x * x * x).sum())
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3c = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+        m4c = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+        row["mean"] = mu
+        row["stdev"] = float(np.sqrt(m2 * n / (n - 1))) if n >= 2 else 0.0
+        row["skew"] = m3c / m2 ** 1.5 if m2 > 0 else 0.0
+        row["kurt"] = m4c / (m2 * m2) - 3.0 if m2 > 0 else 0.0
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(agg, out_schema)
+
+
 def with_lyon_features(
     df: DataFrame, tokens_col: str = "tokens", prefix: str = ""
 ) -> DataFrame:

@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the optimizations we claim must show up in
+explain output (SURVEY.md §4).  These tests pin the plan SHAPE, not
+timings — the properties that decide 100 TB behavior:
+
+- predicate + projection pushdown reach the parquet scan,
+- small dims broadcast (no shuffle of the big side),
+- the as-of window plan is single-shuffle,
+- aggregations are partial (map-side combine),
+- the Arrow feature path contains no row-at-a-time Python and no shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q1_pricing_summary(spark, SF))
+    # partial + final hash aggregate pair -> map-side combine before the
+    # exchange; exactly one shuffle for the groupBy
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_asof_window_plan_single_shuffle(spark):
+    from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        synthetic_sequences,
+        synthetic_snapshots,
+        with_event_time,
+    )
+
+    seqs = with_event_time(synthetic_sequences(spark, 200))
+    snaps = synthetic_snapshots(spark, 100, 150)
+    joined = asof_join(
+        seqs, snaps, on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean"], strategy="window",
+    )
+    plan = _plan(joined)
+    # ONE hash-partitioning exchange (by doc_id) feeds the sort+window;
+    # union of the two sides happens before it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan and "Union" in plan
+    # no Python anywhere in the as-of path
+    assert "Python" not in plan and "Arrow" not in plan.replace("ArrowEvalPython", "X")
+
+
+def test_lyon_arrow_path_no_shuffle_no_rowpython(spark):
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    df = with_lyon_features(synthetic_sequences(spark, 100))
+    plan = _plan(df)
+    assert "Exchange" not in plan           # pure map: scan partitioning kept
+    assert "BatchEvalPython" not in plan    # row-at-a-time Python banned
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan or "ArrowEval" in plan
+
+
+def test_semi_join_for_resume_plan(spark):
+    from pulsarfeatureextractor_spark.sinks.partitioned import resume_plan
+
+    planned = spark.range(20).selectExpr("concat('src', id) as source")
+    import json
+    import tempfile
+
+    ck = tempfile.mktemp()
+    with open(ck, "w") as f:
+        json.dump({"done": {"src1": {}, "src2": {}}}, f)
+    out = resume_plan(planned, ck, ["source"])
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert out.count() == 18
+
+
+def test_salted_join_no_skew_partition(spark):
+    """Salted join spreads a hot key across k partitions: the join keys
+    in the plan are the salted composites, not the raw key."""
+    from pulsarfeatureextractor_spark.operators.salt import salted_join
+
+    left = spark.range(1000).selectExpr("'hot' as k", "id as v")
+    right = spark.range(10).selectExpr("concat('k', id) as k", "id as w") \
+        .union(spark.range(1).selectExpr("'hot' as k", "id as w"))
+    joined = salted_join(left, right, "k", k=8, how="inner")
+    plan = _optimized(joined)
+    assert "salt" in plan.lower()
+    assert joined.count() == 1000
