@@ -270,6 +270,51 @@ def ffill_purchase_value(spark, sf):
     return filled.select("event_id", "user_id", F.col("pval").alias("pval_ffill"))
 
 
+def bfill_purchase_value(spark, sf):
+    from pulsarfeatureextractor_spark.operators.windows import bfill
+
+    e = load_table(spark, sf, "events")
+    v = e.withColumn(
+        "pval", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    filled = bfill(v, "user_id", "ts", ["pval"])
+    return filled.select("event_id", "user_id", F.col("pval").alias("pval_bfill"))
+
+
+def grouping_sets_lineitem(spark, sf):
+    """G3: metrics at (returnflag, linestatus), (returnflag), and ()."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+def token_invariant_check(spark, sf):
+    """The per-row invariant from BASELINE.json input_hint: the engine
+    never mutates token arrays.  Recompute the tokenization twice, run
+    one side through the full Arrow feature path, and count exact
+    array-equality violations (must be 0) next to the row total."""
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    after = with_lyon_features(seqs).select(
+        F.col("doc_id"), F.col("tokens").alias("tokens_after")
+    )
+    ref = documents_to_sequences(d).select("doc_id", "tokens")
+    joined = ref.join(after, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("tokens") == F.col("tokens_after"), 0).otherwise(1)
+        ).alias("n_violations"),
+    )
+
+
 def sessionize_events(spark, sf):
     e = load_table(spark, sf, "events")
     return session_aggregates(e, "user_id", "ts", GAP_SECONDS)
@@ -530,6 +575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_quantity": salted_join_quantity,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
+        "bfill_purchase_value": bfill_purchase_value,
+        "grouping_sets_lineitem": grouping_sets_lineitem,
+        "token_invariant_check": token_invariant_check,
         "sessionize_events": sessionize_events,
         "asof_purchase_before_view": asof_purchase_before_view,
         "asof_tolerance_1d": asof_tolerance_1d,
@@ -679,6 +727,25 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval_ffill
             FROM events
+        """,
+        "bfill_purchase_value": """
+            SELECT event_id, user_id,
+                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pval_bfill
+            FROM events
+        """,
+        "grouping_sets_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "token_invariant_check": """
+            SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations
+            FROM documents
         """,
         "sessionize_events": f"""
             WITH flagged AS (
