@@ -217,6 +217,28 @@ def custkeys_1995_not_1996(spark, sf):
     return y95.subtract(y96)
 
 
+def custkeys_1995_and_1996(spark, sf):
+    o = load_table(spark, sf, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.intersect(y96)
+
+
+def union_event_slices(spark, sf):
+    """U1: unionByName(allowMissingColumns) of two heterogeneous slices."""
+    e = load_table(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id")
+    combined = purchases.unionByName(errors, allowMissingColumns=True)
+    return combined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
 def json_props_stats(spark, sf):
     e = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -570,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_distinct_users": event_type_distinct_users,
         "topk_orders_per_segment": topk_orders_per_segment,
         "custkeys_1995_not_1996": custkeys_1995_not_1996,
+        "custkeys_1995_and_1996": custkeys_1995_and_1996,
+        "union_event_slices": union_event_slices,
         "json_props_stats": json_props_stats,
         "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
@@ -695,6 +719,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
             EXCEPT
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "custkeys_1995_and_1996": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "union_event_slices": """
+            WITH combined AS (
+                SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'error'
+            )
+            SELECT user_id, COUNT(*) AS n_rows, COUNT(value) AS n_with_value,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM combined GROUP BY user_id
         """,
         "json_props_stats": """
             SELECT event_type,

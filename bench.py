@@ -76,13 +76,27 @@ def _bench_testdata(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _pipeline_from(seqs, snaps):
-    """scan -> event_time -> Lyon features -> as-of join vs snapshots."""
+def _pipeline_from(seqs, snaps, scores: bool = False):
+    """scan -> event_time -> features -> as-of join vs snapshots.
+
+    ``scores=True`` adds the Thornton score family — the reference's
+    full per-candidate workload (~2 orders more arithmetic per row than
+    the moments alone), used by the scaling probe so the measurement is
+    compute-dense like production feature extraction.
+    """
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
     from pulsarfeatureextractor_spark.operators.asof import asof_join
     from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
 
     feats = with_lyon_features(with_event_time(seqs))
+    if scores:
+        from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
+
+        feats = with_thornton_scores(feats)
+    # tokens are consumed by the feature UDFs and must NOT ride the
+    # as-of shuffle — they are ~90% of the bytes and the join only
+    # needs the feature columns (production projection discipline)
+    feats = feats.drop("tokens")
     return asof_join(
         feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
         value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
@@ -136,12 +150,18 @@ def _bench_synthetic(spark, n_rows: int) -> dict[str, float]:
     out["synthetic_asof_join"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    feats = with_lyon_features(seqs)
+    feats = with_lyon_features(seqs).drop("tokens")
     _force(asof_join(
         feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
         value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
     ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt", "f_mean"))
     out["synthetic_full_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
+
+    _force(with_thornton_scores(seqs).drop("tokens"))
+    out["synthetic_thornton_scores"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -165,7 +185,7 @@ def run_once(cpus: int, n_rows: int, input_dir: str) -> dict:
         # skipped) and fake the timing
         seqs = with_event_time(spark.read.parquet(os.path.join(input_dir, "sequences")))
         snaps = spark.read.parquet(os.path.join(input_dir, "snapshots"))
-        return _pipeline_from(seqs, snaps)
+        return _pipeline_from(seqs, snaps, scores=True)
 
     _force(build())  # warmup: JIT, Arrow python workers, page cache
     times = []

@@ -33,6 +33,12 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     # Broadcast threshold: dims (nation/region/labels) always fit.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # One BLAS thread per python worker: numpy's OpenBLAS defaults to
+    # ncores threads PER PROCESS, so N workers x N threads thrash the
+    # box (and tiny lstsq problems are faster single-threaded anyway).
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
