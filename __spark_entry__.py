@@ -70,7 +70,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Arrow-vectorized) -> as-of join earlier feature observations
     (leakage-free window plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    seqs = with_event_time(documents_to_sequences(docs))
+    # portable event-time mode: the DuckDB oracle reproduces the exact
+    # same timestamps, so the WHOLE composition (tokenize -> features ->
+    # as-of) is differentially checked end-to-end
+    seqs = with_event_time(documents_to_sequences(docs), mode="portable")
     feats = with_lyon_features(seqs)
 
     # feature snapshots: the same features observed n_tok seconds
@@ -975,6 +978,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             GROUP BY label
+        """,
+        "pipeline_pointintime_features": """
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS INT)) AS tokens,
+                       CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                       make_timestamp((1704067200 +
+                           (CAST(doc_id AS BIGINT) * 2654435761) % 2592000) * 1000000) AS event_time
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, CAST(unnest(tokens) AS DOUBLE) AS x FROM seq
+            ), m AS (
+                SELECT doc_id, COUNT(*) AS n, AVG(x) AS mu FROM tok GROUP BY doc_id
+            ), c AS (
+                SELECT t.doc_id, any_value(m.n) AS n, any_value(m.mu) AS mu,
+                       SUM((t.x - m.mu) ^ 2) AS s2,
+                       SUM((t.x - m.mu) ^ 3) AS s3,
+                       SUM((t.x - m.mu) ^ 4) AS s4
+                FROM tok t JOIN m ON t.doc_id = m.doc_id
+                GROUP BY t.doc_id
+            ), stats AS (
+                SELECT seq.doc_id, seq.source, seq.event_time, seq.n_tok,
+                       c.mu AS mean_raw,
+                       CASE WHEN c.n >= 2 THEN sqrt(c.s2 / (c.n - 1)) ELSE 0.0 END AS stdev_raw,
+                       CASE WHEN c.s2 / c.n > 0
+                            THEN (c.s3 / c.n) / ((c.s2 / c.n) ^ 1.5) ELSE 0.0 END AS skew_raw,
+                       CASE WHEN c.s2 / c.n > 0
+                            THEN (c.s4 / c.n) / ((c.s2 / c.n) ^ 2) - 3.0 ELSE 0.0 END AS kurt_raw
+                FROM seq JOIN c ON seq.doc_id = c.doc_id
+            ), snaps AS (
+                SELECT doc_id, event_time - to_seconds(n_tok) AS obs_time,
+                       mean_raw AS f_mean_raw, stdev_raw AS f_std_raw
+                FROM stats
+            )
+            SELECT f.doc_id, f.source, f.event_time, f.n_tok,
+                   ROUND(f.mean_raw, 6) AS mean,
+                   ROUND(f.stdev_raw, 6) AS stdev,
+                   ROUND(f.skew_raw, 6) AS skew,
+                   ROUND(f.kurt_raw, 6) AS kurt,
+                   ROUND(s.f_mean_raw, 6) AS f_mean_obs,
+                   ROUND(s.f_std_raw, 6) AS f_std_obs
+            FROM stats f
+            ASOF LEFT JOIN snaps s
+              ON f.doc_id = s.doc_id AND f.event_time >= s.obs_time
         """,
         "ann_cosine_topk": """
             WITH q AS (

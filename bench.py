@@ -194,7 +194,17 @@ def run_once(cpus: int, n_rows: int, input_dir: str) -> dict:
         _force(build())
         times.append(time.perf_counter() - t0)
     dt = min(times)  # min = least-noise estimator on a shared VM
+    gateway = spark.sparkContext._gateway
     spark.stop()
+    # the py4j JVM sometimes survives spark.stop() + interpreter exit
+    # and keeps burning cores, poisoning the NEXT trial's measurement —
+    # terminate it explicitly
+    proc = getattr(gateway, "proc", None)
+    if proc is not None:
+        try:
+            proc.terminate()
+        except Exception:
+            pass
     return {"cpus": cpus, "rows": n_rows, "sec": round(dt, 3),
             "all_secs": [round(t, 3) for t in times],
             "rows_per_sec": round(n_rows / dt, 1)}
@@ -222,8 +232,15 @@ def main() -> None:
 
         input_dir = tempfile.mkdtemp(prefix="bench_scaling_input_")
         gen = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
+        gen_gateway = gen.sparkContext._gateway
         _gen_input(gen, args.rows, input_dir)
         gen.stop()
+        proc = getattr(gen_gateway, "proc", None)
+        if proc is not None:  # don't leave the gen JVM idling beside children
+            try:
+                proc.terminate()
+            except Exception:
+                pass
 
         import shutil
 

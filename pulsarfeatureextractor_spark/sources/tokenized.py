@@ -187,16 +187,28 @@ def synthetic_snapshots_distributed(
     )
 
 
-def with_event_time(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+def with_event_time(df: DataFrame, doc_id: str = "doc_id", mode: str = "xxhash") -> DataFrame:
     """Derive the deterministic point-in-time axis (SURVEY.md §1.2).
 
-    event_time = 2024-01-01 + (xxhash64(doc_id) mod 30 days) seconds.
-    Pure JVM expression (no Python), stable across engines runs, and
-    range-partitionable.  The stored table keeps the exact hinted shape;
-    this is computed, never stored.
+    mode="xxhash" (default): event_time = 2024-01-01 +
+    (xxhash64(doc_id) mod 30 days) seconds — JVM-fast, works for any
+    string id.  mode="portable": Knuth multiplicative hash on the id
+    cast to bigint — chosen because ANSI engines (the DuckDB oracle)
+    can compute the identical value, making pipelines built on it
+    end-to-end differentially checkable.  Both are pure expressions
+    (no Python), stable across runs, range-partitionable.  The stored
+    table keeps the exact hinted shape; this is computed, never stored.
     """
     epoch_2024 = 1704067200  # 2024-01-01T00:00:00Z
-    offset = F.pmod(F.xxhash64(F.col(doc_id)), F.lit(_WINDOW_SECONDS))
+    if mode == "xxhash":
+        offset = F.pmod(F.xxhash64(F.col(doc_id)), F.lit(_WINDOW_SECONDS))
+    elif mode == "portable":
+        offset = F.pmod(
+            F.col(doc_id).cast("long") * F.lit(2654435761),
+            F.lit(_WINDOW_SECONDS),
+        )
+    else:
+        raise ValueError(f"unknown event-time mode: {mode}")
     return df.withColumn(
         "event_time", F.timestamp_seconds(F.lit(epoch_2024) + offset)
     )
