@@ -274,6 +274,69 @@ def salted_join_quantity(spark, sf):
 # point-in-time / window operators over events
 # --------------------------------------------------------------------------
 
+def brand_revenue(spark, sf):
+    """part x lineitem: revenue + volume per brand (exercises the part
+    dim; broadcast join, integer-cents)."""
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def supplier_nation_stats(spark, sf):
+    """supplier x lineitem x nation: shipped value per supplier nation."""
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("shipped_cents"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def top_unshipped_orders(spark, sf):
+    """TPC-H Q3-shaped: top 10 revenue among orders with lineitems
+    shipping after the order date (join + agg + global top-k)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents")
+    )
+    return agg.orderBy(
+        F.col("revenue_cents").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+def asof_merge_plan_purchases(spark, sf):
+    """The SECOND as-of physical plan (co-partitioned pandas merge_asof)
+    against the same DuckDB ASOF oracle as the window plan — the driver
+    gate cross-validates both plans' semantics."""
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="merge_asof",
+    ).select("event_id", "user_id", "ts", "last_purchase_value")
+
+
 def lag_lead_events(spark, sf):
     e = load_table(spark, sf, "events")
     out = lagged(e, "user_id", "ts", ["value"], offsets=(1, -1))
@@ -418,6 +481,13 @@ def langid_docs(spark, sf):
     return with_langid(d, "text").groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def vocab_tokenize_docs(spark, sf):
+    from pulsarfeatureextractor_spark.sources.tokenized import vocab_tokenize
+
+    d = load_table(spark, sf, "documents")
+    return vocab_tokenize(d).select("doc_id", "tokens", "n_tok")
 
 
 def lyon_features_docs(spark, sf):
@@ -600,6 +670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": json_props_stats,
         "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
+        "brand_revenue": brand_revenue,
+        "supplier_nation_stats": supplier_nation_stats,
+        "top_unshipped_orders": top_unshipped_orders,
+        "asof_merge_plan_purchases": asof_merge_plan_purchases,
+        "vocab_tokenize_docs": vocab_tokenize_docs,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
         "bfill_purchase_value": bfill_purchase_value,
@@ -754,6 +829,54 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "supplier_nation_stats": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS shipped_cents,
+                   COUNT(DISTINCT s_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_unshipped_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "asof_merge_plan_purchases": """
+            SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+            ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "vocab_tokenize_docs": """
+            WITH words AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), vocab AS (
+                SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
+                FROM (SELECT DISTINCT w FROM words)
+            )
+            SELECT doc_id,
+                   list(tok ORDER BY pos) AS tokens,
+                   CAST(COUNT(*) AS INT) AS n_tok
+            FROM words JOIN vocab USING (w)
+            GROUP BY doc_id
         """,
         "lag_lead_events": """
             SELECT event_id, user_id,

@@ -214,6 +214,41 @@ def with_event_time(df: DataFrame, doc_id: str = "doc_id", mode: str = "xxhash")
     )
 
 
+def vocab_tokenize(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-indexed tokenization: token id = rank of the word in
+    the sorted global vocabulary (1-based), array order preserved.
+
+    Plan: posexplode words -> distinct vocab -> row_number over sorted
+    vocab -> broadcast-join ids back -> per-doc ordered reassembly
+    (array_sort of (pos, tok) structs).  The global row_number window is
+    single-partition but runs over the VOCAB (small) — never the corpus;
+    at 10^12 rows you would swap rank-ids for hash-ids (no global
+    order), which this function's callers treat as an implementation
+    detail of the id space.
+    """
+    words = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    from pyspark.sql.window import Window
+
+    vocab = (
+        words.select("w").distinct()
+        .withColumn("tok", F.row_number().over(Window.orderBy("w")).cast("int"))
+    )
+    joined = words.join(F.broadcast(vocab), "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+
+
 def documents_to_sequences(documents: DataFrame) -> DataFrame:
     """Recast the driver documents table into the hinted 4-column shape.
 
