@@ -43,7 +43,11 @@ from pulsarfeatureextractor_spark.operators.dedup import (
 from pulsarfeatureextractor_spark.operators.rangejoin import range_join_count
 from pulsarfeatureextractor_spark.operators.salt import salted_join
 from pulsarfeatureextractor_spark.operators.sessionize import session_aggregates
-from pulsarfeatureextractor_spark.operators.similarity import cosine_topk, rp_lsh_topk
+from pulsarfeatureextractor_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    rp_lsh_topk,
+)
 from pulsarfeatureextractor_spark.operators.windows import ffill, lagged, rolling_agg
 from pulsarfeatureextractor_spark.sources.readers import load_table
 from pulsarfeatureextractor_spark.sources.tokenized import (
@@ -569,7 +573,21 @@ def profile_stats_docs(spark, sf):
     )
 
 
+def embedding_neardup_exact(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.45, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # rows-only (no SQL oracle): sketches, fingerprints, ANN-approx, stubs
+def embedding_neardup_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    out = embedding_neardup_pairs(
+        emb, threshold=0.45, exact=False, n_bits=6, n_tables=12
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def thornton_scores_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     seqs = documents_to_sequences(d)
@@ -607,6 +625,19 @@ def simhash_signatures_docs(spark, sf):
 def fingerprint_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return with_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def ann_ivf_topk(spark, sf):
+    from pulsarfeatureextractor_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def ann_lsh_topk_docs(spark, sf):
@@ -697,10 +728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_norms_by_label": embedding_norms_by_label,
         "ann_cosine_topk": ann_cosine_topk,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
         "minhash_signatures_docs": minhash_signatures_docs,
         "simhash_signatures_docs": simhash_signatures_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk_docs": ann_lsh_topk_docs,
+        "ann_ivf_topk": ann_ivf_topk,
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
         "pipeline_pointintime_features": pipeline_pointintime_features,
@@ -1146,6 +1180,19 @@ def oracle_sql() -> dict[str, str]:
             FROM stats f
             ASOF LEFT JOIN snaps s
               ON f.doc_id = s.doc_id AND f.event_time >= s.obs_time
+        """,
+        "embedding_neardup_exact": """
+            WITH p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos_raw
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+            FROM p WHERE cos_raw >= 0.45
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -94,6 +94,122 @@ def _bucket_udf(dim: int, n_bits: int, n_tables: int, seed: int = 777):
     return buckets
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 31,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists,
+    probe the ``n_probe`` nearest cells per query, exact re-rank.
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (k-means init without the iterations — at real scale you'd run a
+    few Lloyd rounds on a sample; the *inverted-list* structure, which
+    is what bounds the search cost, is identical).  Cell assignment is
+    one Arrow-batched matmul; the only shuffle is the equi-join on
+    cell ids.  Rows per query may be < k when probes miss (recall
+    tunable via n_probe / n_centroids).
+    """
+    import pyspark.sql.functions as SF
+
+    cents = (
+        corpus.select(F.col(vec_col))
+        .withColumn("__h", F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)), F.lit(1 << 31)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[0], dtype=np.float64) for r in cents])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def _assign_udf(top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ C.T                              # (b, n_centroids)
+            order = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            return pd.Series(list(order))
+
+        return assign
+
+    c_cell = _assign_udf(1)
+    q_cells = _assign_udf(n_probe)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
+        "__cell", F.element_at(c_cell(F.col("__cvec")), 1)
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
+        "__cell", F.explode(q_cells(F.col("__qvec")))
+    )
+    cand = (
+        c.join(q, "__cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col),
+        _cosine_expr(
+            F.col("__cvec").cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        SF.col("cosine").desc(), SF.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= thr).
+
+    ``exact=False`` (scale path): RP-LSH bucket collisions generate
+    candidates, exact cosine filters them — shuffle on bucket keys only.
+    ``exact=True`` (oracle path): full self-join — O(n^2), test scale
+    only; used by the differential gate to certify the LSH path's
+    output is a SUBSET-with-threshold of truth.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        bucketize = _bucket_udf(dim, n_bits, n_tables, seed=555)
+        ab = a.withColumn("__bucket", F.explode(bucketize(F.col("__va"))))
+        bb = b.withColumn("__bucket", F.explode(bucketize(F.col("__vb"))))
+        cand = (
+            ab.join(bb, "__bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cos = _cosine_expr(
+        F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
