@@ -487,6 +487,15 @@ def langid_docs(spark, sf):
     )
 
 
+def raw_bins_passthrough(spark, sf):
+    """A9 raw-bins feature set: tokens cast to double, unmodified."""
+    from pulsarfeatureextractor_spark.functions.featureset import extract_features
+
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    return extract_features(seqs, "raw").select("doc_id", "n_tok", "raw_bins")
+
+
 def vocab_tokenize_docs(spark, sf):
     from pulsarfeatureextractor_spark.sources.tokenized import vocab_tokenize
 
@@ -706,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": top_unshipped_orders,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
         "vocab_tokenize_docs": vocab_tokenize_docs,
+        "raw_bins_passthrough": raw_bins_passthrough,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
         "bfill_purchase_value": bfill_purchase_value,
@@ -895,6 +905,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
             ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "raw_bins_passthrough": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(length(w) % 256 AS DOUBLE)) AS raw_bins
+            FROM documents
         """,
         "vocab_tokenize_docs": """
             WITH words AS (

@@ -32,8 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_pipeline(spark, args):
     from pyspark.sql import functions as F
 
-    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
-    from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
+    from pulsarfeatureextractor_spark.functions.featureset import extract_features
     from pulsarfeatureextractor_spark.operators.asof import asof_join
     from pulsarfeatureextractor_spark.operators.sessionize import sessionize
     from pulsarfeatureextractor_spark.operators.windows import lagged
@@ -49,9 +48,17 @@ def build_pipeline(spark, args):
         # ever read (predicate pushes down to the parquet row groups)
         seqs = seqs.where(F.col("event_time") <= F.lit(args.asof).cast("timestamp"))
 
-    feats = with_lyon_features(seqs)
-    if args.scores:
+    # Lyon moments always computed (the as-of snapshots carry them);
+    # the selected set layers the extra feature families on top —
+    # mirrors the reference CLI's numbered feature-type switch.
+    feature_set = "all" if args.scores else args.feature_set
+    feats = extract_features(seqs, "lyon")
+    if feature_set in ("thornton", "all"):
+        from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
+
         feats = with_thornton_scores(feats)
+    if feature_set == "raw":
+        feats = extract_features(feats, "raw")
 
     # prior observations of the same features (obs_time strictly before
     # event_time by construction) as-of joined back — W1 lag features
@@ -85,7 +92,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--asof", default=None, help="ISO timestamp upper bound")
     ap.add_argument("--gap-seconds", type=float, default=1800.0)
-    ap.add_argument("--scores", action="store_true", help="add Thornton scores")
+    ap.add_argument("--scores", action="store_true",
+                    help="alias for --feature-set all")
+    ap.add_argument("--feature-set", default="lyon",
+                    choices=["lyon", "thornton", "raw", "all"],
+                    help="feature family to emit (reference -t switch analogue)")
     ap.add_argument("--partition-cols", default="source")
     ap.add_argument("--batch-size", type=int, default=0)
     ap.add_argument("--master", default=None)

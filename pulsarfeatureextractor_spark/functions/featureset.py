@@ -1,0 +1,63 @@
+"""Type-selectable feature extraction — the engine's analogue of the
+reference CLI's feature-type flag.
+
+The reference family exposes a numbered feature-type switch choosing
+which published feature set to emit per candidate (SURVEY.md §2A A9;
+BASELINE.json north_star names the Lyon moments and Thornton-style
+scores explicitly — those two are correctness-pinned; the remaining
+sets are passthrough/derived conveniences in the same vectorized
+patterns).  Sets:
+
+- ``lyon``      : 4 moment features of the token array (A7; the 8-set
+  = profile + DM curve is two rows/kinds of the same 4).
+- ``thornton``  : 10 curve-fit/peak scores (A8 1-D subset).
+- ``stats``     : SQL-expressible quick stats (S/N, peak offset) — the
+  JVM-only tier for cheap prefiltering.
+- ``raw``       : the token array cast to double, unmodified — the
+  raw-bins passthrough set (classifier-side normalization).
+- ``all``       : lyon + thornton + stats.
+
+Each set appends flat, prunable double columns; ``tokens`` is never
+mutated (input_hint invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SETS = ("lyon", "thornton", "stats", "raw", "all")
+
+
+def extract_features(
+    df: DataFrame, feature_set: str = "lyon", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Append the chosen feature set's columns (see module docstring)."""
+    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.functions.scores import (
+        with_profile_stats_sql,
+        with_thornton_scores,
+    )
+
+    if feature_set == "lyon":
+        return with_lyon_features(df, tokens_col)
+    if feature_set == "thornton":
+        return with_thornton_scores(df, tokens_col)
+    if feature_set == "stats":
+        return with_profile_stats_sql(df, tokens_col)
+    if feature_set == "raw":
+        return df.withColumn(
+            "raw_bins",
+            F.transform(F.col(tokens_col), lambda v: v.cast("double")),
+        )
+    if feature_set == "all":
+        out = with_lyon_features(df, tokens_col)
+        out = with_thornton_scores(out, tokens_col)
+        # stats columns duplicate two thornton columns; suffix them
+        out = with_profile_stats_sql(
+            out.withColumnRenamed("sn_ratio", "sn_ratio_t")
+            .withColumnRenamed("peak_offset", "peak_offset_t"),
+            tokens_col,
+        )
+        return out
+    raise ValueError(f"unknown feature set {feature_set!r}; one of {FEATURE_SETS}")

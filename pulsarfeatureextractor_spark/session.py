@@ -31,6 +31,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep parquet scans prunable: row-group predicate pushdown on.
     "spark.sql.parquet.filterPushdown": "true",
+    # zstd: ~30% smaller than snappy at negligible CPU — at 100 TB the
+    # scan is bandwidth-bound, so smaller pages are faster pages.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Broadcast threshold: dims (nation/region/labels) always fit.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # One BLAS thread per python worker: numpy's OpenBLAS defaults to
