@@ -1043,30 +1043,37 @@ def oracle_sql() -> dict[str, str]:
             FROM hits GROUP BY 1
         """,
         "lyon_features_docs": """
+            -- exact integer power sums + pinned expression order ==
+            -- bit-identical to the engine's moments_offsets (tokens are
+            -- ints < 256: every sum exact in BIGINT/DOUBLE)
             WITH seq AS (
                 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                        list_transform(string_split(text, ' '),
                                       w -> CAST(length(w) % 256 AS INT)) AS tokens
                 FROM documents
             ), tok AS (
-                SELECT doc_id, CAST(unnest(tokens) AS DOUBLE) AS x FROM seq
+                SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM seq
+            ), s AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       CAST(SUM(v) AS DOUBLE) AS s1,
+                       CAST(SUM(v*v) AS DOUBLE) AS s2,
+                       CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                       CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                FROM tok GROUP BY doc_id
             ), m AS (
-                SELECT doc_id, COUNT(*) AS n, AVG(x) AS mu FROM tok GROUP BY doc_id
-            ), c AS (
-                SELECT t.doc_id,
-                       any_value(m.n) AS n, any_value(m.mu) AS mu,
-                       SUM((t.x - m.mu) ^ 2) AS s2,
-                       SUM((t.x - m.mu) ^ 3) AS s3,
-                       SUM((t.x - m.mu) ^ 4) AS s4
-                FROM tok t JOIN m ON t.doc_id = m.doc_id
-                GROUP BY t.doc_id
+                SELECT doc_id, n, s1/n AS mu,
+                       greatest(s2/n - (s1/n)*(s1/n), 0.0) AS m2,
+                       s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3c,
+                       s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4c
+                FROM s
             )
             SELECT doc_id,
                    ROUND(mu, 6) AS mean,
-                   ROUND(CASE WHEN n >= 2 THEN sqrt(s2 / (n - 1)) ELSE 0.0 END, 6) AS stdev,
-                   ROUND(CASE WHEN s2 / n > 0 THEN (s3 / n) / ((s2 / n) ^ 1.5) ELSE 0.0 END, 6) AS skew,
-                   ROUND(CASE WHEN s2 / n > 0 THEN (s4 / n) / ((s2 / n) ^ 2) - 3.0 ELSE 0.0 END, 6) AS kurt
-            FROM c
+                   ROUND(CASE WHEN n >= 2 THEN sqrt(m2 * n / (n - 1)) ELSE 0.0 END, 6) AS stdev,
+                   ROUND(CASE WHEN m2 > 0 THEN m3c / (m2 ^ 1.5) ELSE 0.0 END, 6) AS skew,
+                   ROUND(CASE WHEN m2 > 0 THEN m4c / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurt
+            FROM m
         """,
         "grouped_moments_event_k": """
             WITH kk AS (
@@ -1163,24 +1170,29 @@ def oracle_sql() -> dict[str, str]:
                            (CAST(doc_id AS BIGINT) * 2654435761) % 2592000) * 1000000) AS event_time
                 FROM documents
             ), tok AS (
-                SELECT doc_id, CAST(unnest(tokens) AS DOUBLE) AS x FROM seq
-            ), m AS (
-                SELECT doc_id, COUNT(*) AS n, AVG(x) AS mu FROM tok GROUP BY doc_id
+                SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM seq
+            ), s AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       CAST(SUM(v) AS DOUBLE) AS s1,
+                       CAST(SUM(v*v) AS DOUBLE) AS s2,
+                       CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                       CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                FROM tok GROUP BY doc_id
             ), c AS (
-                SELECT t.doc_id, any_value(m.n) AS n, any_value(m.mu) AS mu,
-                       SUM((t.x - m.mu) ^ 2) AS s2,
-                       SUM((t.x - m.mu) ^ 3) AS s3,
-                       SUM((t.x - m.mu) ^ 4) AS s4
-                FROM tok t JOIN m ON t.doc_id = m.doc_id
-                GROUP BY t.doc_id
+                SELECT doc_id, n, s1/n AS mu,
+                       greatest(s2/n - (s1/n)*(s1/n), 0.0) AS m2,
+                       s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3c,
+                       s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4c
+                FROM s
             ), stats AS (
                 SELECT seq.doc_id, seq.source, seq.event_time, seq.n_tok,
                        c.mu AS mean_raw,
-                       CASE WHEN c.n >= 2 THEN sqrt(c.s2 / (c.n - 1)) ELSE 0.0 END AS stdev_raw,
-                       CASE WHEN c.s2 / c.n > 0
-                            THEN (c.s3 / c.n) / ((c.s2 / c.n) ^ 1.5) ELSE 0.0 END AS skew_raw,
-                       CASE WHEN c.s2 / c.n > 0
-                            THEN (c.s4 / c.n) / ((c.s2 / c.n) ^ 2) - 3.0 ELSE 0.0 END AS kurt_raw
+                       CASE WHEN c.n >= 2 THEN sqrt(c.m2 * c.n / (c.n - 1)) ELSE 0.0 END AS stdev_raw,
+                       CASE WHEN c.m2 > 0
+                            THEN c.m3c / (c.m2 ^ 1.5) ELSE 0.0 END AS skew_raw,
+                       CASE WHEN c.m2 > 0
+                            THEN c.m4c / (c.m2 * c.m2) - 3.0 ELSE 0.0 END AS kurt_raw
                 FROM seq JOIN c ON seq.doc_id = c.doc_id
             ), snaps AS (
                 SELECT doc_id, event_time - to_seconds(n_tok) AS obs_time,

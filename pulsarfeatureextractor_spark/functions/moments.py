@@ -109,20 +109,30 @@ def moments_offsets(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     idx = offsets[:-1][valid]
     n = counts[valid].astype(np.float64)
 
-    mu = np.add.reduceat(x, idx) / n
-    # center: broadcast each row's mean over its elements
-    mu_full = np.zeros(n_rows, dtype=np.float64)
-    mu_full[valid] = mu
-    d = x - np.repeat(mu_full, counts)
-    d2 = d * d
-    m2 = np.add.reduceat(d2, idx) / n
-    m3 = np.add.reduceat(d2 * d, idx) / n
-    m4 = np.add.reduceat(d2 * d2, idx) / n
+    # EXACT integer power sums (tokens are int32 < 2^8, n <= O(10^3):
+    # every partial sum stays < 2^53, so s1..s4 are exact in float64
+    # regardless of summation order), then a PINNED float expression
+    # order mirrored token-for-token by the DuckDB oracles and the
+    # grouped UDAF — results are bit-identical across engines, so the
+    # round(6) differential can never straddle a rounding boundary.
+    # (Centered two-pass math differed from any SQL engine's summation
+    # order by ~1 ulp, which flipped a round-half case at sf0.001.)
+    s1 = np.add.reduceat(x, idx)
+    s2 = np.add.reduceat(x * x, idx)
+    x3 = x * x * x
+    s3 = np.add.reduceat(x3, idx)
+    s4 = np.add.reduceat(x3 * x, idx)
+
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3c = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4c = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    m2 = np.maximum(m2, 0.0)
 
     stdev = np.where(n >= 2, np.sqrt(m2 * n / np.maximum(n - 1, 1)), 0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        skew = np.where(m2 > 0.0, m3 / np.power(m2, 1.5), 0.0)
-        kurt = np.where(m2 > 0.0, m4 / (m2 * m2) - 3.0, 0.0)
+        skew = np.where(m2 > 0.0, m3c / np.power(m2, 1.5), 0.0)
+        kurt = np.where(m2 > 0.0, m4c / (m2 * m2) - 3.0, 0.0)
 
     out[valid, 0] = mu
     out[valid, 1] = stdev
