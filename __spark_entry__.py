@@ -341,6 +341,21 @@ def asof_merge_plan_purchases(spark, sf):
     ).select("event_id", "user_id", "ts", "last_purchase_value")
 
 
+def asof_bucketed_plan_purchases(spark, sf):
+    """Third as-of physical plan (skew-proof per-(entity, time-bucket)
+    windows + carry-in) against the same DuckDB ASOF oracle."""
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="bucketed",
+        bucket_seconds=6 * 3600.0,
+    ).select("event_id", "user_id", "ts", "last_purchase_value")
+
+
 def lag_lead_events(spark, sf):
     e = load_table(spark, sf, "events")
     out = lagged(e, "user_id", "ts", ["value"], offsets=(1, -1))
@@ -714,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_stats": supplier_nation_stats,
         "top_unshipped_orders": top_unshipped_orders,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
+        "asof_bucketed_plan_purchases": asof_bucketed_plan_purchases,
         "vocab_tokenize_docs": vocab_tokenize_docs,
         "raw_bins_passthrough": raw_bins_passthrough,
         "lag_lead_events": lag_lead_events,
@@ -899,6 +915,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "asof_bucketed_plan_purchases": """
+            SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+            ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
         "asof_merge_plan_purchases": """
             SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value

@@ -66,6 +66,7 @@ def asof_join(
     value_cols: "Iterable[str] | None" = None,
     strategy: str = "window",
     num_partitions: "int | None" = None,
+    bucket_seconds: float = 86400.0,
 ) -> DataFrame:
     """As-of join ``right`` onto ``left``.
 
@@ -100,21 +101,24 @@ def asof_join(
     if strategy == "merge_asof":
         return _asof_merge(left, right, on, r_on, by_cols, direction,
                            tolerance, value_cols, num_partitions)
+    if strategy == "bucketed":
+        return _asof_bucketed(left, right, on, r_on, by_cols, direction,
+                              tolerance, value_cols, bucket_seconds)
     raise ValueError(f"unknown strategy: {strategy}")
 
 
 def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
-                 value_cols) -> DataFrame:
+                 value_cols, axis_type: str = "timestamp") -> DataFrame:
     l_cols = left.columns
     # Tag sides; right contributes only (by, ts, values).
     l_tagged = (left.withColumn(_SIDE, F.lit(1))
-                .withColumn(_RTS, F.lit(None).cast("timestamp")))
+                .withColumn(_RTS, F.lit(None).cast(axis_type)))
     for c in value_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     r_proj = right.select(
         *[F.col(c) for c in by_cols],
-        F.col(r_on).cast("timestamp").alias(on),
-        F.col(r_on).cast("timestamp").alias(_RTS),
+        F.col(r_on).cast(axis_type).alias(on),
+        F.col(r_on).cast(axis_type).alias(_RTS),
         *[F.col(c) for c in value_cols],
     ).withColumn(_SIDE, F.lit(0))
     unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
@@ -141,6 +145,92 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
 
     if tolerance is not None:
         # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+        delta = F.abs(F.col(on).cast("double") - F.col(_RTS).cast("double"))
+        out_of_tol = F.col(_RTS).isNull() | (delta > F.lit(float(tolerance)))
+        for c in value_cols:
+            out = out.withColumn(c, F.when(out_of_tol, F.lit(None)).otherwise(F.col(c)))
+    return out.select(*l_cols, *value_cols)
+
+
+_BKT = "__asof_bkt"
+
+
+def _asof_bucketed(left, right, on, r_on, by_cols, direction, tolerance,
+                   value_cols, bucket_seconds: float = 86400.0) -> DataFrame:
+    """Skew-proof backward as-of: per-(entity, time-bucket) windows plus
+    a carry-in as-of over tiny per-bucket summaries.
+
+    The window and merge_asof plans partition by ENTITY — a hot entity
+    (north_star: hot doc_id/source keys) serializes into one task, and
+    neither salting nor AQE helps window skew.  Here the partition key
+    is (entity, floor(ts / B)):
+
+      pass 1: union + window within (entity, bucket) — the hot entity's
+              rows spread over #buckets tasks;
+      pass 2: per-(entity, bucket) LAST right row → a summary table of
+              O(entities x buckets) rows; carry-in for bucket b = the
+              summary as-of bucket b-1 (an as-of join again, but on the
+              tiny summary — recursion bottoms out on the window plan);
+      pass 3: broadcast/hash join carry-ins back by (entity, bucket),
+              coalesce within-bucket fills with the carry-in.
+
+    Equality with the window plan is property-tested on skewed and
+    random fixtures.  Backward direction only (forward is symmetric —
+    compose with a negated timestamp upstream if needed).
+    """
+    if direction != "backward":
+        raise ValueError("bucketed strategy implements backward as-of only")
+    B = float(bucket_seconds)
+    l_cols = left.columns
+
+    bkt_of_on = F.floor(F.col(on).cast("double") / B).cast("long")
+
+    l_tagged = (left.withColumn(_SIDE, F.lit(1))
+                .withColumn(_RTS, F.lit(None).cast("timestamp"))
+                .withColumn(_BKT, bkt_of_on))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_proj = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(r_on).cast("timestamp").alias(on),
+        F.col(r_on).cast("timestamp").alias(_RTS),
+        *[F.col(c) for c in value_cols],
+    ).withColumn(_SIDE, F.lit(0)).withColumn(_BKT, bkt_of_on)
+
+    # pass 1: within-bucket window (right rows visible at equal ts)
+    w = (Window.partitionBy(*by_cols, _BKT)
+         .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = l_tagged.unionByName(r_proj, allowMissingColumns=True)
+    for c in value_cols + [_RTS]:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    filled = filled.where(F.col(_SIDE) == 1)
+
+    # pass 2: per-bucket last-right summaries, then carry-in as-of on
+    # the bucket axis (tiny: one row per entity x non-empty bucket)
+    summary = r_proj.groupBy(*by_cols, _BKT).agg(
+        F.max(_RTS).alias(_RTS),
+        *[F.max_by(c, F.col(_RTS)).alias(c) for c in value_cols],
+    )
+    carry_cols = [f"__carry_{c}" for c in value_cols + [_RTS]]
+    left_buckets = (filled.select(*by_cols, _BKT).distinct()
+                    .withColumn("__qb", F.col(_BKT) - 1))
+    carry = _asof_window(
+        left_buckets,
+        summary.select(
+            *by_cols, F.col(_BKT).alias("__qb"),
+            *[F.col(c).alias(f"__carry_{c}") for c in value_cols + [_RTS]],
+        ),
+        on="__qb", r_on="__qb", by_cols=by_cols, direction="backward",
+        tolerance=None, value_cols=carry_cols, axis_type="long",
+    ).drop("__qb")
+
+    # pass 3: coalesce within-bucket fill with carry-in
+    out = filled.join(carry, [*by_cols, _BKT], "left")
+    for c in value_cols + [_RTS]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+
+    if tolerance is not None:
         delta = F.abs(F.col(on).cast("double") - F.col(_RTS).cast("double"))
         out_of_tol = F.col(_RTS).isNull() | (delta > F.lit(float(tolerance)))
         for c in value_cols:
