@@ -136,6 +136,74 @@ def streaming_ffill_state(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+_ASOF_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("last_purchase_value", T.DoubleType()),
+])
+
+_ASOF_STATE = T.StructType([T.StructField("last_val", T.DoubleType())])
+
+
+def streaming_asof_state(
+    stream: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """X4: stateful streaming AS-OF — the online twin of the batch
+    backward as-of join.
+
+    One event stream carries both sides; per-entity state is the last
+    right-side value (exactly the state a 10^12-row feature store needs
+    per entity — one row, watermark-bounded).  Within each trigger the
+    key's rows are folded in (ts, side) order with right rows visible
+    at equal ts — the same tie convention as the batch window plan and
+    DuckDB ASOF; across triggers the state seeds the fold.  Left rows
+    are emitted with the as-of value attached.
+    """
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"].isin([left_type, right_type])]
+            if pdf.empty:
+                continue
+            # right rows sort before left rows at equal ts
+            side = (pdf["event_type"] == left_type).astype(int)
+            pdf = pdf.assign(__side=side).sort_values(
+                ["ts", "__side", "event_id"], kind="mergesort"
+            )
+            rvals = pdf["value"].where(pdf["event_type"] == right_type)
+            filled = rvals.ffill()
+            if last is not None:
+                filled = filled.fillna(last)
+            nonnull = rvals.dropna()
+            if len(nonnull):
+                last = float(nonnull.iloc[-1])
+            lefts = pdf[pdf["event_type"] == left_type]
+            if lefts.empty:
+                continue
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "event_id": lefts["event_id"],
+                "ts": lefts["ts"],
+                "last_purchase_value": filled[lefts.index],
+            })
+        state.update((last,))
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold, _ASOF_OUT, _ASOF_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_lyon_features(stream: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Stateless streaming feature extraction: the batch mapInArrow
     moment path applied to a stream — identical code, identical plan

@@ -112,6 +112,28 @@ def test_streaming_ffill_matches_batch_ffill(spark, events_dir, tmp_path):
     assert np.allclose(a["pval_ffill"].fillna(-1), b["pval_ffill"].fillna(-1))
 
 
+def test_streaming_asof_matches_batch_asof(spark, events_dir, tmp_path):
+    from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.streaming.mirror import streaming_asof_state
+
+    stream = stream_events_from_table(spark, events_dir)
+    got = _run(streaming_asof_state(stream), "t_asof", spark, str(tmp_path))
+
+    e = spark.read.parquet(events_dir)
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    batch = asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="window",
+    ).toPandas()
+    a, b = _canon(got), _canon(batch)
+    assert len(a) == len(b)
+    assert np.allclose(a["last_purchase_value"].fillna(-9e9),
+                       b["last_purchase_value"].fillna(-9e9))
+
+
 def test_streaming_lyon_features_match_batch(spark, tmp_path):
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
     from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
