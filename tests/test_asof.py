@@ -56,9 +56,13 @@ def test_both_plans_match_pandas(spark, seed, direction):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     want = _canon(_pandas_asof(left, right, direction))
-    for strategy in ("window", "merge_asof"):
+    strategies = ["window", "merge_asof"]
+    if direction == "backward":
+        strategies.append("bucketed")  # backward-only plan
+    for strategy in strategies:
         got = asof_join(
-            ldf, rdf, on="ts", by="entity", direction=direction, strategy=strategy
+            ldf, rdf, on="ts", by="entity", direction=direction,
+            strategy=strategy, bucket_seconds=600.0,
         ).toPandas()
         got = _canon(got)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
@@ -70,9 +74,10 @@ def test_tolerance(spark, tolerance):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     want = _canon(_pandas_asof(left, right, "backward", tolerance))
-    for strategy in ("window", "merge_asof"):
+    for strategy in ("window", "merge_asof", "bucketed"):
         got = _canon(asof_join(
-            ldf, rdf, on="ts", by="entity", tolerance=tolerance, strategy=strategy
+            ldf, rdf, on="ts", by="entity", tolerance=tolerance,
+            strategy=strategy, bucket_seconds=600.0,
         ).toPandas())
         pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
 
@@ -81,7 +86,7 @@ def test_exact_tie_matches(spark):
     """A right row at exactly t must be visible to a left row at t."""
     left = pd.DataFrame({"entity": ["a"], "ts": [EPOCH], "lval": [1.0]})
     right = pd.DataFrame({"entity": ["a"], "ts": [EPOCH], "rval": [9.0]})
-    for strategy in ("window", "merge_asof"):
+    for strategy in ("window", "merge_asof", "bucketed"):
         got = asof_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
             on="ts", by="entity", strategy=strategy,
@@ -94,7 +99,7 @@ def test_no_match_yields_null(spark):
     right = pd.DataFrame({
         "entity": ["a"], "ts": [EPOCH + pd.Timedelta(seconds=10)], "rval": [9.0]
     })
-    for strategy in ("window", "merge_asof"):
+    for strategy in ("window", "merge_asof", "bucketed"):
         got = asof_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
             on="ts", by="entity", strategy=strategy,
