@@ -226,6 +226,39 @@ class IcebergLikeTable:
             df = df.where(where)
         return df
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot manifests
+        (Iceberg expire_snapshots surface).  Data files shared with
+        surviving snapshots are untouched; newly-unreferenced files
+        become orphans for :meth:`remove_orphans`."""
+        ids = self.snapshot_ids()
+        expired = ids[:-keep_last] if keep_last > 0 else ids
+        for sid in expired:
+            os.remove(os.path.join(self.manifest_dir, f"snap-{sid}.json"))
+        return expired
+
+    def remove_orphans(self, dry_run: bool = False) -> list[str]:
+        """Delete data files referenced by NO surviving manifest —
+        the cleanup for crash-orphaned dirs and expired snapshots."""
+        referenced: set[str] = set()
+        for sid in self.snapshot_ids():
+            referenced.update(f["path"] for f in self.manifest(sid)["files"])
+        data_root = os.path.join(self.path, DATA_DIR)
+        orphans = [
+            p for p in _list_parquet(data_root) if p not in referenced
+        ] if os.path.isdir(data_root) else []
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+            # drop now-empty snap dirs
+            for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not _list_parquet(full):
+                    import shutil
+
+                    shutil.rmtree(full, ignore_errors=True)
+        return orphans
+
     def prune_files(self, column: str, lo, hi, snapshot_id: "int | None" = None) -> list[str]:
         """Manifest-stat file pruning for a closed range predicate."""
         man = self.manifest(snapshot_id)
