@@ -63,18 +63,30 @@ def _minhash_udf(num_perm: int, seed: int = 12345):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    perm_chunk = 8  # bounds the (total_tokens, chunk) temporary
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(np.full(num_perm, MERSENNE, dtype=np.int64))
-                continue
-            x = np.asarray(arr, dtype=np.uint64)[:, None]  # (n, 1)
-            hv = (x * a + b) % MERSENNE                    # (n, perm)
-            out.append(hv.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        # flat-buffer vectorization: ONE (total_tokens, perm_chunk)
+        # hash matrix per chunk + minimum.reduceat over row offsets —
+        # no per-row python (same pattern as functions/moments.py)
+        arrs = [np.asarray(v, dtype=np.uint64) if v is not None else
+                np.empty(0, dtype=np.uint64) for v in hashes]
+        n_rows = len(arrs)
+        counts = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=n_rows)
+        out = np.full((n_rows, num_perm), MERSENNE, dtype=np.int64)
+        valid = counts > 0
+        if valid.any():
+            flat = np.concatenate(arrs) if n_rows else np.empty(0, np.uint64)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            idx = offsets[:-1][valid]
+            for lo in range(0, num_perm, perm_chunk):
+                hi = min(lo + perm_chunk, num_perm)
+                hv = (flat[:, None] * a[lo:hi] + b[lo:hi]) % MERSENNE
+                out[valid, lo:hi] = np.minimum.reduceat(
+                    hv, idx, axis=0
+                ).astype(np.int64)
+        return pd.Series(list(out))
 
     return minhash
 
