@@ -226,6 +226,26 @@ class IcebergLikeTable:
             df = df.where(where)
         return df
 
+    def compact(self, target_file_mb: int = 128) -> dict:
+        """Bin-pack small files into ~target-sized ones as a NEW
+        overwrite snapshot (Iceberg rewrite_data_files surface).  Old
+        snapshots stay readable until expired; readers never see a
+        half-compacted state (manifest commit is atomic)."""
+        man = self.manifest()
+        spark = SparkSession.getActiveSession()
+        df = self.read(spark)
+        total_bytes = sum(f["bytes"] for f in man["files"])
+        n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+        part_cols = man.get("partition_spec") or []
+        compacted = df.repartition(n_files, *part_cols) if part_cols else \
+            df.coalesce(n_files)
+        new_man = self.write(compacted, partition_by=part_cols or None,
+                             mode="overwrite",
+                             metrics={"compacted_from": len(man["files"])})
+        return {"before_files": len(man["files"]),
+                "after_files": len(new_man["files"]),
+                "snapshot_id": new_man["snapshot_id"]}
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot manifests
         (Iceberg expire_snapshots surface).  Data files shared with

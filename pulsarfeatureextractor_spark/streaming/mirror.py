@@ -136,6 +136,21 @@ def streaming_ffill_state(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    keys: "list[str] | None" = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark window (at-least-once ingest -> effectively-once
+    output).  State = one entry per key, expired by the watermark —
+    the streaming twin of the batch md5-groupBy exact_dedup; at
+    10^12-row scale the watermark bound is what keeps the dedup state
+    finite."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 _ASOF_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("event_id", T.LongType()),

@@ -86,3 +86,39 @@ def test_expire_and_orphans(spark, tmp_path):
     assert len(orphans) > 0
     # surviving snapshot still fully readable
     assert t.read(spark).count() == 10
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    d = str(tmp_path / "tbl3")
+    t = IcebergLikeTable(d)
+    t.write(synthetic_sequences(spark, 400, seed=3).repartition(32))
+    assert len(t.manifest()["files"]) >= 16
+    res = t.compact(target_file_mb=128)
+    assert res["after_files"] < res["before_files"]
+    assert t.read(spark).count() == 400
+    # old snapshot still time-travelable until expired
+    assert t.read(spark, snapshot_id=1).count() == 400
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+    from pulsarfeatureextractor_spark.streaming.mirror import (
+        EVENTS_SCHEMA,
+        streaming_exact_dedup,
+    )
+
+    # simulate at-least-once delivery: every event twice
+    src = str(tmp_path / "dup_events")
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    e.union(e).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (streaming_exact_dedup(stream).writeStream.format("memory")
+         .queryName("t_dedup").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    assert got.count() == e.count()
+    assert got.select("event_id").distinct().count() == e.count()
