@@ -326,6 +326,41 @@ def top_unshipped_orders(spark, sf):
     ).limit(10)
 
 
+def shipmode_priority_counts(spark, sf):
+    """TPC-H Q12-shaped: conditional aggregation over a join — urgent
+    vs non-urgent order counts per linestatus."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(1 - urgent).alias("low_line_count"),
+        )
+    )
+
+
+def branded_small_qty_revenue(spark, sf):
+    """TPC-H Q19-shaped: disjunctive predicates across the join — the
+    OR-of-ANDs must still prune at the scan."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") <= 20))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") <= 5))
+    )
+    return joined.where(cond).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def asof_merge_plan_purchases(spark, sf):
     """The SECOND as-of physical plan (co-partitioned pandas merge_asof)
     against the same DuckDB ASOF oracle as the window plan — the driver
@@ -728,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": brand_revenue,
         "supplier_nation_stats": supplier_nation_stats,
         "top_unshipped_orders": top_unshipped_orders,
+        "shipmode_priority_counts": shipmode_priority_counts,
+        "branded_small_qty_revenue": branded_small_qty_revenue,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
         "asof_bucketed_plan_purchases": asof_bucketed_plan_purchases,
         "vocab_tokenize_docs": vocab_tokenize_docs,
@@ -915,6 +952,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "shipmode_priority_counts": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+        """,
+        "branded_small_qty_revenue": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity <= 10)
+               OR (p_brand = 'Brand#2' AND l_quantity <= 20)
+               OR (p_size >= 40 AND l_quantity <= 5)
         """,
         "asof_bucketed_plan_purchases": """
             SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value
