@@ -326,6 +326,38 @@ def top_unshipped_orders(spark, sf):
     ).limit(10)
 
 
+def big_spender_customers(spark, sf):
+    """Scalar-subquery shape: customers whose lifetime order value
+    exceeds 2x the average customer's (exact integer cents)."""
+    o = load_table(spark, sf, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents")
+    )
+    avg_total = totals.agg(F.avg("total_cents").alias("a"))
+    return (
+        totals.crossJoin(F.broadcast(avg_total))
+        .where(F.col("total_cents") > 2 * F.col("a"))
+        .select("o_custkey", "total_cents")
+    )
+
+
+def orders_above_customer_avg(spark, sf):
+    """Correlated-subquery shape via window: orders pricier than their
+    own customer's average order."""
+    o = load_table(spark, sf, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey")
+    out = (
+        o.withColumn("c", cents)
+        .withColumn("avg_c", F.avg("c").over(w))
+        .where(F.col("c") > F.col("avg_c"))
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("sum_cents"),
+    )
+
+
 def shipmode_priority_counts(spark, sf):
     """TPC-H Q12-shaped: conditional aggregation over a join — urgent
     vs non-urgent order counts per linestatus."""
@@ -546,6 +578,36 @@ def raw_bins_passthrough(spark, sf):
     return extract_features(seqs, "raw").select("doc_id", "n_tok", "raw_bins")
 
 
+def token_histogram_udtf(spark, sf):
+    """Python UDTF surface (Spark 4): per-doc token histogram emitted as
+    (bin, n) rows via a LATERAL table function, then aggregated corpus-
+    wide.  Exists to exercise the UDTF API (SURVEY §2C noted none was
+    REQUIRED); the hot path stays mapInArrow — UDTF eval is per-row by
+    API design, so this is surface coverage, not a scale path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bin: int, n: int")
+    class TokenHistogram:
+        def eval(self, tokens):
+            if tokens is None:
+                return
+            counts = {}
+            for t in tokens:
+                b = int(t) // 16
+                counts[b] = counts.get(b, 0) + 1
+            for b in sorted(counts):
+                yield b, counts[b]
+
+    spark.udtf.register("token_hist", TokenHistogram)
+    d = load_table(spark, sf, "documents")
+    documents_to_sequences(d).createOrReplaceTempView("__seq_udtf")
+    return spark.sql("""
+        SELECT h.bin, CAST(SUM(h.n) AS BIGINT) AS total
+        FROM __seq_udtf, LATERAL token_hist(tokens) h
+        GROUP BY h.bin
+    """)
+
+
 def vocab_tokenize_docs(spark, sf):
     from pulsarfeatureextractor_spark.sources.tokenized import vocab_tokenize
 
@@ -763,11 +825,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": brand_revenue,
         "supplier_nation_stats": supplier_nation_stats,
         "top_unshipped_orders": top_unshipped_orders,
+        "big_spender_customers": big_spender_customers,
+        "orders_above_customer_avg": orders_above_customer_avg,
         "shipmode_priority_counts": shipmode_priority_counts,
         "branded_small_qty_revenue": branded_small_qty_revenue,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
         "asof_bucketed_plan_purchases": asof_bucketed_plan_purchases,
         "vocab_tokenize_docs": vocab_tokenize_docs,
+        "token_histogram_udtf": token_histogram_udtf,
         "raw_bins_passthrough": raw_bins_passthrough,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
@@ -953,6 +1018,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
         """,
+        "big_spender_customers": """
+            WITH totals AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, total_cents FROM totals
+            WHERE total_cents > 2 * (SELECT AVG(total_cents) FROM totals)
+        """,
+        "orders_above_customer_avg": """
+            WITH c AS (
+                SELECT o_orderpriority, o_custkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+                       AVG(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS avg_c
+                FROM orders
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents
+            FROM c WHERE c > avg_c
+            GROUP BY o_orderpriority
+        """,
         "shipmode_priority_counts": """
             SELECT l_linestatus,
                    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -986,6 +1073,15 @@ def oracle_sql() -> dict[str, str]:
                    list_transform(string_split(text, ' '),
                                   w -> CAST(length(w) % 256 AS DOUBLE)) AS raw_bins
             FROM documents
+        """,
+        "token_histogram_udtf": """
+            WITH tok AS (
+                SELECT unnest(list_transform(string_split(text, ' '),
+                              w -> CAST(length(w) % 256 AS INT))) AS v
+                FROM documents
+            )
+            SELECT CAST(v // 16 AS INT) AS bin, COUNT(*) AS total
+            FROM tok GROUP BY 1
         """,
         "vocab_tokenize_docs": """
             WITH words AS (
