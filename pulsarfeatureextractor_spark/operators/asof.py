@@ -175,11 +175,13 @@ def _asof_bucketed(left, right, on, r_on, by_cols, direction, tolerance,
               coalesce within-bucket fills with the carry-in.
 
     Equality with the window plan is property-tested on skewed and
-    random fixtures.  Backward direction only (forward is symmetric —
-    compose with a negated timestamp upstream if needed).
+    random fixtures, both directions.  Forward is the mirror image:
+    within-bucket window over DESCENDING ts, summaries keep the FIRST
+    right row per bucket, carry-in comes from bucket b+1 onward.
     """
-    if direction != "backward":
-        raise ValueError("bucketed strategy implements backward as-of only")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bucketed strategy: unknown direction {direction}")
+    fwd = direction == "forward"
     B = float(bucket_seconds)
     l_cols = left.columns
 
@@ -197,28 +199,37 @@ def _asof_bucketed(left, right, on, r_on, by_cols, direction, tolerance,
         *[F.col(c) for c in value_cols],
     ).withColumn(_SIDE, F.lit(0)).withColumn(_BKT, bkt_of_on)
 
-    # pass 1: within-bucket window (right rows visible at equal ts)
+    # pass 1: within-bucket window (right rows visible at equal ts);
+    # forward = mirror: descending ts, right still first at equal ts
+    order = F.col(on).desc() if fwd else F.col(on).asc()
     w = (Window.partitionBy(*by_cols, _BKT)
-         .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+         .orderBy(order, F.col(_SIDE).asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = l_tagged.unionByName(r_proj, allowMissingColumns=True)
     for c in value_cols + [_RTS]:
         filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     filled = filled.where(F.col(_SIDE) == 1)
 
-    # pass 2: per-bucket last-right summaries, then carry-in as-of on
-    # the bucket axis (tiny: one row per entity x non-empty bucket)
+    # pass 2: per-bucket boundary-right summaries (backward: LAST right
+    # row; forward: FIRST), then carry-in as-of on the bucket axis
+    # (tiny: one row per entity x non-empty bucket)
+    boundary = F.max(_RTS) if not fwd else F.min(_RTS)
+    pick = F.max_by if not fwd else F.min_by
     summary = r_proj.groupBy(*by_cols, _BKT).agg(
-        F.max(_RTS).alias(_RTS),
-        *[F.max_by(c, F.col(_RTS)).alias(c) for c in value_cols],
+        boundary.alias(_RTS),
+        *[pick(c, F.col(_RTS)).alias(c) for c in value_cols],
     )
     carry_cols = [f"__carry_{c}" for c in value_cols + [_RTS]]
+    # carry-in for bucket b: nearest summary bucket strictly before
+    # (backward) / after (forward) b — itself an as-of on the bucket
+    # index, negated for forward so the backward machinery applies
+    sign = -1 if fwd else 1
     left_buckets = (filled.select(*by_cols, _BKT).distinct()
-                    .withColumn("__qb", F.col(_BKT) - 1))
+                    .withColumn("__qb", sign * F.col(_BKT) - 1))
     carry = _asof_window(
         left_buckets,
         summary.select(
-            *by_cols, F.col(_BKT).alias("__qb"),
+            *by_cols, (sign * F.col(_BKT)).alias("__qb"),
             *[F.col(c).alias(f"__carry_{c}") for c in value_cols + [_RTS]],
         ),
         on="__qb", r_on="__qb", by_cols=by_cols, direction="backward",

@@ -56,10 +56,7 @@ def test_both_plans_match_pandas(spark, seed, direction):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     want = _canon(_pandas_asof(left, right, direction))
-    strategies = ["window", "merge_asof"]
-    if direction == "backward":
-        strategies.append("bucketed")  # backward-only plan
-    for strategy in strategies:
+    for strategy in ("window", "merge_asof", "bucketed"):
         got = asof_join(
             ldf, rdf, on="ts", by="entity", direction=direction,
             strategy=strategy, bucket_seconds=600.0,
