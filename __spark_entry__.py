@@ -683,6 +683,19 @@ def ngram_jaccard_pairs_docs(spark, sf):
     )
 
 
+def width_features_docs(spark, sf):
+    from pulsarfeatureextractor_spark.functions.scores import with_width_features
+
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    out = with_width_features(seqs)
+    return out.select(
+        "doc_id", "n_above_half", "n_above_q3",
+        F.round("peak_to_mean", 6).alias("peak_to_mean"),
+        F.round("crest", 6).alias("crest"),
+    )
+
+
 def profile_stats_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     seqs = documents_to_sequences(d)
@@ -851,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lyon_features_docs": lyon_features_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "profile_stats_docs": profile_stats_docs,
+        "width_features_docs": width_features_docs,
         "thornton_scores_docs": thornton_scores_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
@@ -1296,6 +1310,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON id_a = x.doc_id
             JOIN sz y ON id_b = y.doc_id
             WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+        """,
+        "width_features_docs": """
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS DOUBLE)) AS x
+                FROM documents
+            ), s AS (
+                SELECT doc_id, x,
+                       CAST(len(x) AS INT) AS n,
+                       list_min(x) AS mn, list_max(x) AS mx,
+                       CAST(list_sum(x) AS DOUBLE) AS s1,
+                       CAST(list_sum(list_transform(x, v -> v * v)) AS DOUBLE) AS s2
+                FROM seq
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(x, v -> v > (mn + mx) / 2.0)) AS INT) AS n_above_half,
+                   CAST(len(list_filter(x, v -> v > mn + 0.75 * (mx - mn))) AS INT) AS n_above_q3,
+                   ROUND(CASE WHEN s1 / n > 0 THEN mx / (s1 / n) ELSE 0.0 END, 6) AS peak_to_mean,
+                   ROUND(CASE WHEN sqrt(s2 / n) > 0 THEN mx / sqrt(s2 / n) ELSE 0.0 END, 6) AS crest
+            FROM s
         """,
         "profile_stats_docs": """
             WITH seq AS (

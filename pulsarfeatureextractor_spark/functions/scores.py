@@ -205,6 +205,48 @@ def with_thornton_scores(
     return df.mapInArrow(compute, out_schema)
 
 
+def with_width_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Eatough-style pulse-width / peak-shape features, all JVM.
+
+    (Eatough et al. 2010, MNRAS 407:2443 use pulse widths at fractions
+    of the peak among their 12 features; these are the data-derived —
+    not fit-derived — analogues over the token array.)
+
+    - n_above_half : bins above the half-max level (W50 proxy)
+    - n_above_q3   : bins above min + 0.75*(max-min) (W25 proxy)
+    - peak_to_mean : max / mean (0 when mean == 0)
+    - crest        : max / sqrt(mean of squares) (0 when degenerate)
+
+    Integer token inputs make every sum exact; the divisions are single
+    ops mirrored identically in the DuckDB oracle (bit-exact at
+    round(6), same discipline as the moment family).
+    """
+    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
+    n = F.size(F.col(tokens_col))
+    mn = F.array_min(x)
+    mx = F.array_max(x)
+    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    mu = s1 / n
+    rms = F.sqrt(s2 / n)
+    half = (mn + mx) / F.lit(2.0)
+    q3 = mn + F.lit(0.75) * (mx - mn)
+    return (
+        df.withColumn(
+            "n_above_half",
+            F.size(F.filter(x, lambda v: v > half)).cast("int"))
+        .withColumn(
+            "n_above_q3",
+            F.size(F.filter(x, lambda v: v > q3)).cast("int"))
+        .withColumn(
+            "peak_to_mean",
+            F.when(mu > 0, mx / mu).otherwise(F.lit(0.0)))
+        .withColumn(
+            "crest",
+            F.when(rms > 0, mx / rms).otherwise(F.lit(0.0)))
+    )
+
+
 def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """SQL-expressible subset of the scores, computed ENTIRELY JVM-side.
 
