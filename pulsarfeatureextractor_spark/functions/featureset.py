@@ -13,9 +13,11 @@ patterns).  Sets:
 - ``thornton``  : 10 curve-fit/peak scores (A8 1-D subset).
 - ``stats``     : SQL-expressible quick stats (S/N, peak offset) — the
   JVM-only tier for cheap prefiltering.
+- ``widths``    : Eatough-style pulse-width / peak-shape features
+  (W50/W25 proxies, peak-to-mean, crest) — JVM-only.
 - ``raw``       : the token array cast to double, unmodified — the
   raw-bins passthrough set (classifier-side normalization).
-- ``all``       : lyon + thornton + stats.
+- ``all``       : lyon + thornton + widths + stats.
 
 Each set appends flat, prunable double columns; ``tokens`` is never
 mutated (input_hint invariant).
@@ -26,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SETS = ("lyon", "thornton", "stats", "raw", "all")
+FEATURE_SETS = ("lyon", "thornton", "stats", "widths", "raw", "all")
 
 
 def extract_features(
@@ -45,14 +47,21 @@ def extract_features(
         return with_thornton_scores(df, tokens_col)
     if feature_set == "stats":
         return with_profile_stats_sql(df, tokens_col)
+    if feature_set == "widths":
+        from pulsarfeatureextractor_spark.functions.scores import with_width_features
+
+        return with_width_features(df, tokens_col)
     if feature_set == "raw":
         return df.withColumn(
             "raw_bins",
             F.transform(F.col(tokens_col), lambda v: v.cast("double")),
         )
     if feature_set == "all":
+        from pulsarfeatureextractor_spark.functions.scores import with_width_features
+
         out = with_lyon_features(df, tokens_col)
         out = with_thornton_scores(out, tokens_col)
+        out = with_width_features(out, tokens_col)
         # stats columns duplicate two thornton columns; suffix them
         out = with_profile_stats_sql(
             out.withColumnRenamed("sn_ratio", "sn_ratio_t")

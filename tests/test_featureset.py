@@ -24,6 +24,8 @@ def test_each_set_appends_expected_columns(spark, seqs):
     assert set(extract_features(seqs, "thornton").columns) == base | set(SCORE_FIELDS)
     assert set(extract_features(seqs, "stats").columns) == base | {"sn_ratio", "peak_offset"}
     assert set(extract_features(seqs, "raw").columns) == base | {"raw_bins"}
+    assert set(extract_features(seqs, "widths").columns) == base | {
+        "n_above_half", "n_above_q3", "peak_to_mean", "crest"}
     allcols = set(extract_features(seqs, "all").columns)
     assert set(LYON_FIELDS) | {"sn_ratio_t", "peak_offset_t", "sn_ratio", "peak_offset"} <= allcols
 
