@@ -489,6 +489,24 @@ def token_invariant_check(spark, sf):
     )
 
 
+def user_activity_features(spark, sf):
+    """Composition query: sessionize (W5) + trailing 7d frame (W3) +
+    per-entity aggregation (G1) in one pipeline — the per-user feature
+    vector a training pipeline would emit."""
+    from pulsarfeatureextractor_spark.operators.sessionize import sessionize
+    from pulsarfeatureextractor_spark.operators.windows import rolling_agg
+
+    e = load_table(spark, sf, "events")
+    s = sessionize(e, "user_id", "ts", GAP_SECONDS)
+    r = rolling_agg(s, "user_id", "ts", {"roll_n": F.count(F.lit(1))}, SEVEN_DAYS)
+    return r.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("roll_n").alias("peak_7d_events"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
 def sessionize_events(spark, sf):
     e = load_table(spark, sf, "events")
     return session_aggregates(e, "user_id", "ts", GAP_SECONDS)
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfill_purchase_value": bfill_purchase_value,
         "grouping_sets_lineitem": grouping_sets_lineitem,
         "token_invariant_check": token_invariant_check,
+        "user_activity_features": user_activity_features,
         "sessionize_events": sessionize_events,
         "asof_purchase_before_view": asof_purchase_before_view,
         "asof_tolerance_1d": asof_tolerance_1d,
@@ -1146,6 +1165,33 @@ def oracle_sql() -> dict[str, str]:
         "token_invariant_check": """
             SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations
             FROM documents
+        """,
+        "user_activity_features": f"""
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+                FROM flagged
+            ), rolled AS (
+                SELECT user_id, session_id, value,
+                       COUNT(*) OVER (PARTITION BY user_id
+                           ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                           RANGE BETWEEN {SEVEN_DAYS} PRECEDING AND CURRENT ROW) AS roll_n
+                FROM numbered
+            )
+            SELECT user_id,
+                   CAST(MAX(session_id) AS INT) AS n_sessions,
+                   CAST(MAX(roll_n) AS BIGINT) AS peak_7d_events,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM rolled GROUP BY user_id
         """,
         "sessionize_events": f"""
             WITH flagged AS (
