@@ -115,7 +115,13 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
                 .withColumn(_RTS, F.lit(None).cast(axis_type)))
     for c in value_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_proj = right.select(
+    # right rows with a null key or null ts can never match (SQL join
+    # semantics) — and a null-ts right row would sort first and pollute
+    # the running fill, so drop them before the union
+    r_clean = right.where(F.col(r_on).isNotNull())
+    for c in by_cols:
+        r_clean = r_clean.where(F.col(c).isNotNull())
+    r_proj = r_clean.select(
         *[F.col(c) for c in by_cols],
         F.col(r_on).cast(axis_type).alias(on),
         F.col(r_on).cast(axis_type).alias(_RTS),
@@ -142,6 +148,16 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
     for c in value_cols + [_RTS]:
         filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     out = filled.where(F.col(_SIDE) == 1)
+
+    # SQL join semantics: a NULL entity key or NULL timestamp matches
+    # nothing (window partitioning would otherwise group null keys
+    # together and diverge from ANSI ASOF / equality-join behavior)
+    null_key = F.lit(False)
+    for c in by_cols:
+        null_key = null_key | F.col(c).isNull()
+    null_key = null_key | F.col(on).isNull()
+    for c in value_cols + [_RTS]:
+        out = out.withColumn(c, F.when(null_key, F.lit(None)).otherwise(F.col(c)))
 
     if tolerance is not None:
         # cast-to-double keeps sub-second precision (unix_timestamp truncates)
@@ -192,7 +208,10 @@ def _asof_bucketed(left, right, on, r_on, by_cols, direction, tolerance,
                 .withColumn(_BKT, bkt_of_on))
     for c in value_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_proj = right.select(
+    r_clean = right.where(F.col(r_on).isNotNull())
+    for c in by_cols:
+        r_clean = r_clean.where(F.col(c).isNotNull())
+    r_proj = r_clean.select(
         *[F.col(c) for c in by_cols],
         F.col(r_on).cast("timestamp").alias(on),
         F.col(r_on).cast("timestamp").alias(_RTS),
@@ -269,14 +288,21 @@ def _asof_merge(left, right, on, r_on, by_cols, direction, tolerance,
 
     l_part = left
     r_part = right.select(*by_cols, F.col(r_on).alias(r_on), *value_cols)
+    r_part = r_part.where(F.col(r_on).isNotNull())
+    for c in by_cols:
+        r_part = r_part.where(F.col(c).isNotNull())
     if num_partitions:
         l_part = l_part.repartition(num_partitions, *by_cols)
         r_part = r_part.repartition(num_partitions, *by_cols)
 
     def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # null left timestamps match nothing (SQL semantics) and would
+        # break merge_asof's sort requirement — split them out
+        null_ts = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()]
         lpdf = lpdf.sort_values(on, kind="mergesort").reset_index(drop=True)
-        if rpdf.empty:
-            res = lpdf.copy()
+        if rpdf.empty or lpdf.empty:
+            res = pd.concat([lpdf, null_ts], ignore_index=True)
             for c in value_cols:
                 res[c] = None
             return res[l_cols + value_cols]
@@ -288,6 +314,12 @@ def _asof_merge(left, right, on, r_on, by_cols, direction, tolerance,
             direction=direction, tolerance=tol,
             allow_exact_matches=True,
         )
+        if len(null_ts):
+            nt = null_ts.copy()
+            for c in value_cols:
+                nt[c] = None
+            res = pd.concat([res[l_cols + value_cols], nt[l_cols + value_cols]],
+                            ignore_index=True)
         return res[l_cols + value_cols]
 
     return (

@@ -129,3 +129,31 @@ def test_zero_temporal_leakage(spark):
             assert any(
                 (not pd.isna(v)) and abs(v - want_val) < 1e-12 for v in got_vals
             )
+
+
+def test_null_keys_and_timestamps_sql_semantics(spark):
+    """NULL entity keys / timestamps never match, on either side —
+    ANSI equality-join semantics, pinned across all three plans."""
+    left = pd.DataFrame({
+        "entity": ["a", None, "a", "b"],
+        "ts": [EPOCH + pd.Timedelta(seconds=10), EPOCH + pd.Timedelta(seconds=10),
+               pd.NaT, EPOCH + pd.Timedelta(seconds=10)],
+        "lval": [1.0, 2.0, 3.0, 4.0],
+    })
+    right = pd.DataFrame({
+        "entity": ["a", None, "a", "b"],
+        "ts": [EPOCH, EPOCH, pd.NaT, pd.NaT],
+        "rval": [10.0, 20.0, 30.0, 40.0],
+    })
+    for strategy in ("window", "merge_asof", "bucketed"):
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by="entity", strategy=strategy,
+        ).toPandas().sort_values("lval").reset_index(drop=True)
+        assert len(got) == 4, strategy
+        # valid (a, t=10) matches the valid right row only
+        assert got.loc[0, "rval"] == 10.0, strategy
+        # null key, null ts, and entity with only-null right rows -> no match
+        assert pd.isna(got.loc[1, "rval"]), strategy
+        assert pd.isna(got.loc[2, "rval"]), strategy
+        assert pd.isna(got.loc[3, "rval"]), strategy
