@@ -57,8 +57,12 @@ def build_pipeline(spark, args):
         from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
 
         feats = with_thornton_scores(feats)
-    if feature_set == "raw":
-        feats = extract_features(feats, "raw")
+    if feature_set in ("widths", "all"):
+        from pulsarfeatureextractor_spark.functions.scores import with_width_features
+
+        feats = with_width_features(feats)
+    if feature_set in ("stats", "raw"):
+        feats = extract_features(feats, feature_set)
 
     # prior observations of the same features (obs_time strictly before
     # event_time by construction) as-of joined back — W1 lag features
@@ -95,7 +99,7 @@ def main(argv=None) -> dict:
     ap.add_argument("--scores", action="store_true",
                     help="alias for --feature-set all")
     ap.add_argument("--feature-set", default="lyon",
-                    choices=["lyon", "thornton", "raw", "all"],
+                    choices=["lyon", "thornton", "stats", "widths", "raw", "all"],
                     help="feature family to emit (reference -t switch analogue)")
     ap.add_argument("--partition-cols", default="source")
     ap.add_argument("--batch-size", type=int, default=0)
