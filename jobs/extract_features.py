@@ -48,21 +48,18 @@ def build_pipeline(spark, args):
         # ever read (predicate pushes down to the parquet row groups)
         seqs = seqs.where(F.col("event_time") <= F.lit(args.asof).cast("timestamp"))
 
-    # Lyon moments always computed (the as-of snapshots carry them);
-    # the selected set layers the extra feature families on top —
-    # mirrors the reference CLI's numbered feature-type switch.
-    feature_set = "all" if args.scores else args.feature_set
-    feats = extract_features(seqs, "lyon")
-    if feature_set in ("thornton", "all"):
-        from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
-
-        feats = with_thornton_scores(feats)
-    if feature_set in ("widths", "all"):
-        from pulsarfeatureextractor_spark.functions.scores import with_width_features
-
-        feats = with_width_features(feats)
-    if feature_set in ("stats", "raw"):
-        feats = extract_features(feats, feature_set)
+    # Lyon moments are always computed (the as-of snapshots carry them);
+    # every other family layers on top VIA THE LIBRARY SELECTOR so the
+    # job's output schema for a set name is identical to
+    # functions.featureset.extract_features's (mirrors the reference
+    # CLI's numbered feature-type switch).
+    feature_set = args.feature_set or ("all" if args.scores else "lyon")
+    if feature_set == "all":
+        feats = extract_features(seqs, "all")
+    else:
+        feats = extract_features(seqs, "lyon")
+        if feature_set != "lyon":
+            feats = extract_features(feats, feature_set)
 
     # prior observations of the same features (obs_time strictly before
     # event_time by construction) as-of joined back — W1 lag features
@@ -97,10 +94,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--asof", default=None, help="ISO timestamp upper bound")
     ap.add_argument("--gap-seconds", type=float, default=1800.0)
     ap.add_argument("--scores", action="store_true",
-                    help="alias for --feature-set all")
-    ap.add_argument("--feature-set", default="lyon",
+                    help="default --feature-set to 'all' when no explicit "
+                         "--feature-set is given")
+    ap.add_argument("--feature-set", default=None,
                     choices=["lyon", "thornton", "stats", "widths", "raw", "all"],
-                    help="feature family to emit (reference -t switch analogue)")
+                    help="feature family to emit (reference -t switch "
+                         "analogue; default lyon, or all with --scores)")
     ap.add_argument("--partition-cols", default="source")
     ap.add_argument("--batch-size", type=int, default=0)
     ap.add_argument("--master", default=None)

@@ -90,14 +90,35 @@ def moments_rows(arrays: "list[np.ndarray] | pd.Series") -> np.ndarray:
     return out
 
 
+def _moments_from_sums(n, s1, s2, s3, s4):
+    """(mu, stdev, skew, kurt) from power sums in the PINNED float
+    expression order mirrored token-for-token by the DuckDB oracles and
+    the grouped UDAF — results are bit-identical across engines, so the
+    round(6) differential can never straddle a rounding boundary.
+    (Centered two-pass math differed from any SQL engine's summation
+    order by ~1 ulp, which flipped a round-half case at sf0.001.)"""
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3c = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4c = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    m2 = np.maximum(m2, 0.0)
+
+    stdev = np.where(n >= 2, np.sqrt(m2 * n / np.maximum(n - 1, 1)), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skew = np.where(m2 > 0.0, m3c / np.power(m2, 1.5), 0.0)
+        kurt = np.where(m2 > 0.0, m4c / (m2 * m2) - 3.0, 0.0)
+    return mu, stdev, skew, kurt
+
+
 def moments_offsets(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Row-wise (mean, stdev, skew, kurt) from a FLAT value buffer.
 
     ``values`` is the concatenation of all rows' arrays; ``offsets`` is
-    the (n_rows+1) Arrow-style offset vector.  No per-row Python objects
-    are ever created — this is the 10^12-row hot path (profiling showed
-    Arrow→pandas conversion of list columns, i.e. one numpy object per
-    row, costs ~10x the moment arithmetic itself).
+    the (n_rows+1) Arrow-style offset vector (CONTIGUOUS: row i owns
+    values[offsets[i]:offsets[i+1]] with no gaps).  No per-row Python
+    objects are ever created — this is the 10^12-row hot path
+    (profiling showed Arrow→pandas conversion of list columns, i.e. one
+    numpy object per row, costs ~10x the moment arithmetic itself).
     """
     counts = np.diff(offsets)
     n_rows = len(counts)
@@ -111,29 +132,51 @@ def moments_offsets(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
     # EXACT integer power sums (tokens are int32 < 2^8, n <= O(10^3):
     # every partial sum stays < 2^53, so s1..s4 are exact in float64
-    # regardless of summation order), then a PINNED float expression
-    # order mirrored token-for-token by the DuckDB oracles and the
-    # grouped UDAF — results are bit-identical across engines, so the
-    # round(6) differential can never straddle a rounding boundary.
-    # (Centered two-pass math differed from any SQL engine's summation
-    # order by ~1 ulp, which flipped a round-half case at sf0.001.)
+    # regardless of summation order)
     s1 = np.add.reduceat(x, idx)
     s2 = np.add.reduceat(x * x, idx)
     x3 = x * x * x
     s3 = np.add.reduceat(x3, idx)
     s4 = np.add.reduceat(x3 * x, idx)
 
-    mu = s1 / n
-    m2 = s2 / n - mu * mu
-    m3c = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
-    m4c = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
-    m2 = np.maximum(m2, 0.0)
+    mu, stdev, skew, kurt = _moments_from_sums(n, s1, s2, s3, s4)
+    out[valid, 0] = mu
+    out[valid, 1] = stdev
+    out[valid, 2] = skew
+    out[valid, 3] = kurt
+    return out
 
-    stdev = np.where(n >= 2, np.sqrt(m2 * n / np.maximum(n - 1, 1)), 0.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        skew = np.where(m2 > 0.0, m3c / np.power(m2, 1.5), 0.0)
-        kurt = np.where(m2 > 0.0, m4c / (m2 * m2) - 3.0, 0.0)
 
+def moments_segments(
+    values: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Row-wise moments over ARBITRARY (start, count) segments of a flat
+    buffer — the general kernel behind :func:`moments_list_array` when
+    the Arrow layout is non-contiguous (null slots that own a nonzero
+    extent, sliced arrays).  Interleaved-boundary ``add.reduceat`` sums
+    exactly [start, start+count) per row, so gap values can never leak
+    into a neighbouring row."""
+    n_rows = len(counts)
+    out = np.zeros((n_rows, 4), dtype=np.float64)
+    valid = counts > 0
+    if not valid.any():
+        return out
+    s = np.asarray(starts, dtype=np.int64)[valid]
+    e = s + np.asarray(counts, dtype=np.int64)[valid]
+    bounds = np.empty(2 * len(s), dtype=np.int64)
+    bounds[0::2] = s
+    bounds[1::2] = e
+    # pad one slot so an end index == len(values) is a legal reduceat index
+    x = np.concatenate([np.asarray(values, dtype=np.float64), [0.0]])
+    n = (e - s).astype(np.float64)
+    x2 = x * x
+    x3 = x2 * x
+    s1 = np.add.reduceat(x, bounds)[0::2]
+    s2 = np.add.reduceat(x2, bounds)[0::2]
+    s3 = np.add.reduceat(x3, bounds)[0::2]
+    s4 = np.add.reduceat(x3 * x, bounds)[0::2]
+
+    mu, stdev, skew, kurt = _moments_from_sums(n, s1, s2, s3, s4)
     out[valid, 0] = mu
     out[valid, 1] = stdev
     out[valid, 2] = skew
@@ -147,14 +190,20 @@ def moments_list_array(arr) -> np.ndarray:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # flatten() trims the child buffer to this array's slice; rebase offsets
     offsets = np.asarray(arr.offsets, dtype=np.int64)
-    offsets = offsets - offsets[0]
-    values = np.asarray(arr.flatten())
-    out = moments_offsets(values, offsets)
-    if arr.null_count:
-        out[~np.asarray(arr.is_valid()), :] = 0.0
-    return out
+    if arr.null_count == 0:
+        # fast path: flatten() trims the child buffer to this array's
+        # slice and the buffer is contiguous; rebase offsets
+        return moments_offsets(np.asarray(arr.flatten()), offsets - offsets[0])
+    # general path: a legal Arrow list array may give a NULL slot a
+    # nonzero extent — flatten() drops those child values while the
+    # offsets still count them (misaligned reduceat / crash).  Index the
+    # UNSLICED child buffer (arr.values) with absolute offsets and zero
+    # out the null slots' counts so their extents are never summed.
+    starts = offsets[:-1]
+    counts = np.diff(offsets)
+    counts = np.where(np.asarray(arr.is_valid()), counts, 0)
+    return moments_segments(np.asarray(arr.values), starts, counts)
 
 
 @F.pandas_udf(LYON_STRUCT)
@@ -208,10 +257,23 @@ def grouped_moments(
         if n == 0:
             row.update({f: 0.0 for f in LYON_FIELDS})
             return pd.DataFrame([row])
-        s1 = int(x.sum())
-        s2 = int((x * x).sum())
-        s3 = int((x * x * x).sum())
-        s4 = int((x * x * x * x).sum())
+        # accumulate in PYTHON ints (arbitrary precision): int64 numpy
+        # sums silently wrap for |value| beyond ~2^15 at the fourth
+        # power, diverging from the DuckDB oracle.  Fast path: when the
+        # max power-sum term provably fits int64 (n * max|x|^4 < 2^62),
+        # numpy is exact and ~100x faster.
+        amax = int(np.abs(x).max())
+        if n * (amax ** 4) < (1 << 62):
+            s1 = int(x.sum())
+            s2 = int((x * x).sum())
+            s3 = int((x * x * x).sum())
+            s4 = int((x * x * x * x).sum())
+        else:
+            xs = x.tolist()
+            s1 = sum(xs)
+            s2 = sum(v * v for v in xs)
+            s3 = sum(v * v * v for v in xs)
+            s4 = sum(v * v * v * v for v in xs)
         mu = s1 / n
         m2 = s2 / n - mu * mu
         m3c = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
@@ -223,6 +285,34 @@ def grouped_moments(
         return pd.DataFrame([row])
 
     return df.groupBy(*group_cols).applyInPandas(agg, out_schema)
+
+
+def lyon8_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    kind_col: str = "kind",
+    tokens_col: str = "tokens",
+    profile_kind: str = "profile",
+    dm_kind: str = "dm",
+) -> DataFrame:
+    """The full 8-feature Lyon vector (SURVEY.md §2A A6/A7): the four
+    moments of the integrated PROFILE curve and the four moments of the
+    DM–SNR curve, composed into ONE row per candidate.
+
+    Input: long-form rows (id, kind, tokens) with kind ∈ {profile, dm}
+    — the natural storage shape when the two curves arrive as separate
+    token sequences.  The moments run through the same zero-object
+    mapInArrow kernel; the pivot is a single hash aggregate on the id
+    (conditional-max pivot — no second shuffle, no join).
+    """
+    feats = with_lyon_features(df, tokens_col)
+    aggs = []
+    for kind, suffix in ((profile_kind, "_prof"), (dm_kind, "_dm")):
+        for f in LYON_FIELDS:
+            aggs.append(
+                F.max(F.when(F.col(kind_col) == kind, F.col(f))).alias(f + suffix)
+            )
+    return feats.groupBy(id_col).agg(*aggs)
 
 
 def with_lyon_features(

@@ -162,20 +162,28 @@ def scores_list_array(arr) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     offsets = np.asarray(arr.offsets, dtype=np.int64)
-    offsets = offsets - offsets[0]
-    values = np.asarray(arr.flatten(), dtype=np.float64)
-    counts = np.diff(offsets)
+    if arr.null_count == 0:
+        # fast path: contiguous buffer, rebase offsets onto flatten()
+        values = np.asarray(arr.flatten(), dtype=np.float64)
+        starts_all = offsets[:-1] - offsets[0]
+        counts = np.diff(offsets)
+    else:
+        # a NULL slot may legally own a nonzero extent: flatten() drops
+        # those child values while offsets still count them.  Use the
+        # UNSLICED child buffer with absolute offsets and zero the null
+        # slots' counts so their extents are never gathered.
+        values = np.asarray(arr.values, dtype=np.float64)
+        starts_all = offsets[:-1]
+        counts = np.where(np.asarray(arr.is_valid()), np.diff(offsets), 0)
     n_rows = len(counts)
     out = np.zeros((n_rows, len(SCORE_FIELDS)), dtype=np.float64)
     for length in np.unique(counts):
         if length < 4:
             continue
         idxs = np.nonzero(counts == length)[0]
-        starts = offsets[:-1][idxs]
+        starts = starts_all[idxs]
         gather = starts[:, None] + np.arange(length)[None, :]
         out[idxs, :] = scores_matrix(values[gather])
-    if arr.null_count:
-        out[~np.asarray(arr.is_valid()), :] = 0.0
     return out
 
 

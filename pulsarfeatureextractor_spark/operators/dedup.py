@@ -156,19 +156,82 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_vote_udf():
+    """Arrow-vectorized bit-vote: array<long> of shingle hashes -> the
+    64-bit simhash, ONE pass over each document's shingles.
+
+    Flat-buffer vectorization (same pattern as the minhash UDF): the
+    batch's hash arrays concatenate into one uint64 buffer, unpack to a
+    (total_hashes, 64) little-endian bit matrix, and ``add.reduceat``
+    over the row offsets yields every document's 64 bit-votes at once —
+    no per-row Python, no 64 re-traversals of the shingle array (the
+    SQL-expression twin folds the array once PER BIT).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def simhash64(hashes: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=np.int64).view(np.uint64)
+            if v is not None
+            else np.empty(0, dtype=np.uint64)
+            for v in hashes
+        ]
+        n_rows = len(arrs)
+        counts = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=n_rows)
+        out = np.zeros(n_rows, dtype=np.int64)
+        valid = counts > 0
+        if valid.any():
+            flat = np.concatenate(arrs)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            idx = offsets[:-1][valid]
+            # (total, 64) bit matrix; column j == bit j of the uint64
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            votes = np.add.reduceat(2 * bits - 1, idx, axis=0)  # (n_valid, 64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sig = ((votes > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[valid] = sig.view(np.int64)
+        return pd.Series(out)
+
+    return simhash64
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """64-bit simhash per doc via bit-vote aggregation, all JVM.
+    """64-bit simhash per doc via bit-vote aggregation.
 
     For each of 64 bits: vote +1 if the shingle hash has the bit set
-    else -1; bit set in the signature iff the sum > 0.  Expressed as
-    explode + groupBy(sum) would shuffle n_shingles rows; instead we
-    fold per row with F.aggregate over the shingle array — zero
-    shuffle, one pass.
+    else -1; bit set in the signature iff the sum > 0.  Shingle hashing
+    (xxhash64) is always JVM-side; the vote has two implementations
+    that produce IDENTICAL signatures (pytest-pinned equality):
+
+    - ``impl="arrow"`` (default): one Arrow-vectorized pandas UDF doing
+      a single numpy pass over all bits at once — O(shingles) work.
+    - ``impl="sql"``: zero-Python ``F.aggregate`` folds, but one fold
+      PER BIT — 64 traversals of each document's shingle array and a
+      giant codegen expression.  Kept for pure-JVM deployments.
+
+    Either way: zero shuffle, embarrassingly parallel.
     """
     sh = F.array_distinct(shingles(text_col, shingle_n))
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    if impl == "arrow":
+        vote = _simhash_vote_udf()
+        return (
+            df.select(F.col(id_col), hashed.alias("__sh"))
+            .withColumn("simhash", vote(F.col("__sh")))
+            .drop("__sh")
+        )
+    if impl != "sql":
+        raise ValueError(f"unknown simhash impl {impl!r}")
 
     def bit_vote(bit: int):
         votes = F.aggregate(
@@ -191,13 +254,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming via block-key join:
     split the 64-bit hash into (max_hamming+1) 16-bit blocks; any pair
     within radius shares at least one block (pigeonhole)."""
     n_blocks = max_hamming + 1
     assert n_blocks <= 4, "64-bit hash -> at most 4x16-bit blocks"
-    sig = simhash_signatures(df, text_col, id_col, shingle_n)
+    sig = simhash_signatures(df, text_col, id_col, shingle_n, impl=impl)
 
     block_idx = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk")
     # shiftright() only takes a literal bit count — use the SQL operator
@@ -231,18 +295,42 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: "int | None" = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard >= threshold via posting-list join.
 
     explode distinct shingles -> (shingle, id); self-join on shingle
-    counts the intersection per pair; sizes give the union.  At scale,
-    prune ultra-common shingles first (document-frequency cap) — here
-    the cap is a parameterized filter.
+    counts the intersection per pair; sizes give the union.
+
+    ``max_df`` is the document-frequency cap, THE scale guard: a
+    stop-shingle ("of the and") appearing in d documents makes its
+    posting list O(d) long and the self-join on it O(d^2) — at 100 TB a
+    corpus-wide shingle is a quadratic blowup.  With ``max_df=k``,
+    shingles held by more than k documents are dropped from the
+    representation BEFORE the self-join (one extra map-side-combinable
+    groupBy on the postings, no new shuffle axis), and per-doc sizes are
+    computed over the SAME capped set, so jaccard stays internally
+    consistent (Jaccard over informative shingles).  ``max_df=None``
+    keeps every shingle — the exact-oracle mode used by the driver gate.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        # anti-join postings against the hot set.  Its size is bounded
+        # by n_postings/max_df — usually broadcast-able, but not
+        # provably so at 10^12 postings, so leave the strategy to AQE
+        # (it broadcasts when the built side is small).  An anti-join on
+        # a skewed key stays linear: the hot rows are filtered, never
+        # multiplied.
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

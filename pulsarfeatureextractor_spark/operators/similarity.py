@@ -177,6 +177,7 @@ def embedding_neardup_pairs(
     n_bits: int = 8,
     n_tables: int = 8,
     exact: bool = False,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= thr).
 
@@ -191,7 +192,10 @@ def embedding_neardup_pairs(
     if exact:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            # schema can't carry array length — pass dim to avoid this
+            # extra one-row Spark job
+            dim = len(df.select(vec_col).first()[0])
         bucketize = _bucket_udf(dim, n_bits, n_tables, seed=555)
         ab = a.withColumn("__bucket", F.explode(bucketize(F.col("__va"))))
         bb = b.withColumn("__bucket", F.explode(bucketize(F.col("__vb"))))
@@ -228,6 +232,8 @@ def rp_lsh_topk(
     once on the bucket key — no |corpus| x |queries| blowup.
     """
     if dim is None:
+        # schema can't carry array length — pass dim to avoid this
+        # extra one-row Spark job
         dim = len(corpus.select(vec_col).first()[0])
     bucketize = _bucket_udf(dim, n_bits, n_tables)
 

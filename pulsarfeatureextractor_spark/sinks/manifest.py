@@ -196,25 +196,39 @@ class IcebergLikeTable:
         spark: SparkSession,
         snapshot_id: "int | None" = None,
         where: "F.Column | None" = None,
+        prune: "tuple[str, object, object] | None" = None,
     ) -> DataFrame:
         """Scan the table at a snapshot (default: latest).
 
-        File-level pruning: when ``where`` references a column with
-        manifest min/max stats, files that provably contain no matching
-        rows are dropped before the Spark scan (the manifest analogue of
-        Iceberg's scan planning); row-group pruning inside surviving
-        files is Catalyst's as usual.
+        ``where`` is a plain row filter applied after the scan (it still
+        pushes down to parquet row groups via Catalyst, but does NOT
+        drop whole files).  ``prune=(column, lo, hi)`` additionally does
+        manifest-level FILE pruning — files whose recorded min/max for
+        ``column`` are provably disjoint from [lo, hi] never reach the
+        Spark scan at all (the manifest analogue of Iceberg's scan
+        planning).  Callers with a range predicate should pass BOTH:
+        prune for file skipping, where for row-level exactness.
         """
         man = self.manifest(snapshot_id)
         if not man["files"]:
             from pyspark.sql import types as T
 
             return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
+        keep = None
+        if prune is not None:
+            col, lo, hi = prune
+            keep = set(self.prune_files(col, lo, hi, snapshot_id))
         # group by snapshot base dir: basePath makes Spark re-derive the
         # hive partition columns each write encoded in dir names
         by_base: dict[str, list[str]] = {}
         for f in man["files"]:
+            if keep is not None and f["path"] not in keep:
+                continue
             by_base.setdefault(f.get("base", ""), []).append(f["path"])
+        if not by_base:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
         df = None
         for base, paths in sorted(by_base.items()):
             reader = spark.read

@@ -54,8 +54,28 @@ def _save_checkpoint(path: str, ckpt: dict) -> None:
     os.replace(tmp, path)
 
 
-def _key_str(values: Sequence) -> str:
-    return "/".join(str(v) for v in values)
+# Spark's hive-style writer renders a NULL partition value as this
+# directory name; using the same token in the checkpoint key keeps the
+# key, the batch filter, and the on-disk layout in agreement.
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_key_expr(partition_cols: Sequence[str]):
+    """THE canonical partition-key expression — every consumer (resume
+    diff, batch filter, checkpoint bookkeeping, sidecar paths) derives
+    keys from this ONE Spark expression, so a key can never be computed
+    two different ways.  NULL-safe: ``concat_ws`` silently skips NULLs
+    (which would alias ('a', NULL, 'b') with ('a', 'b')), so each value
+    is coalesced to the hive null token first; non-string types render
+    via Spark's cast (booleans as 'true'/'false', matching the writer's
+    directory names), never Python ``str()``."""
+    return F.concat_ws(
+        "/",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_PARTITION))
+            for c in partition_cols
+        ],
+    )
 
 
 def resume_plan(
@@ -75,11 +95,8 @@ def resume_plan(
     done_df = spark.createDataFrame(
         [(k,) for k in done_keys], schema="__done_key string"
     )
-    key_expr = F.concat_ws(
-        "/", *[F.col(c).cast("string") for c in partition_cols]
-    )
     return (
-        planned.withColumn("__key", key_expr)
+        planned.withColumn("__key", _partition_key_expr(partition_cols))
         .join(
             F.broadcast(done_df),
             F.col("__key") == F.col("__done_key"),
@@ -120,7 +137,16 @@ def run_partitioned_job(
 
     planned = df.select(*part_cols).distinct()
     todo_df = resume_plan(planned, checkpoint_path, part_cols)
-    todo = sorted(_key_str(r) for r in todo_df.collect())
+    # collect the SAME Spark-computed __key the batch filter uses — a
+    # driver-side str() of raw values would disagree on NULLs ('None')
+    # and booleans ('True'), silently dropping those partitions while
+    # marking them done (data loss on every rerun).
+    todo = sorted(
+        r["__key"]
+        for r in todo_df.select(
+            _partition_key_expr(part_cols).alias("__key")
+        ).collect()
+    )
     ckpt = load_checkpoint(checkpoint_path)
     skipped = sorted(ckpt["done"].keys())
 
@@ -138,7 +164,7 @@ def run_partitioned_job(
     else:
         batches = [todo[i:i + batch_size] for i in range(0, len(todo), batch_size)]
 
-    key_expr = F.concat_ws("/", *[F.col(c).cast("string") for c in part_cols])
+    key_expr = _partition_key_expr(part_cols)
     written: list[str] = []
     for bi, batch in enumerate(batches):
         if fail_after_batches and bi >= fail_after_batches:

@@ -214,18 +214,39 @@ def with_event_time(df: DataFrame, doc_id: str = "doc_id", mode: str = "xxhash")
     )
 
 
-def vocab_tokenize(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Vocabulary-indexed tokenization: token id = rank of the word in
-    the sorted global vocabulary (1-based), array order preserved.
+def vocab_tokenize(
+    documents: DataFrame, text_col: str = "text", id_mode: str = "hash"
+) -> DataFrame:
+    """Tokenization into an integer id space, array order preserved.
 
-    Plan: posexplode words -> distinct vocab -> row_number over sorted
-    vocab -> broadcast-join ids back -> per-doc ordered reassembly
-    (array_sort of (pos, tok) structs).  The global row_number window is
-    single-partition but runs over the VOCAB (small) — never the corpus;
-    at 10^12 rows you would swap rank-ids for hash-ids (no global
-    order), which this function's callers treat as an implementation
-    detail of the id space.
+    - ``id_mode="hash"`` (DEFAULT — the web-scale path): token id =
+      xxhash64(word) folded into [1, 2^31).  A pure per-row expression:
+      no vocabulary materialization, no shuffle, no global ordering —
+      the plan is a single project over the scan, identical at 10^12
+      rows.  Ids are stable across runs/clusters (xxhash64 is
+      deterministic); collisions in the 2^31 space are the standard
+      hash-vocab tradeoff.
+    - ``id_mode="rank"`` (opt-in for SMALL vocabularies): token id =
+      rank of the word in the sorted global vocabulary (1-based) — the
+      classic contiguous-id space classifiers like.  Plan: posexplode
+      words -> distinct vocab -> row_number over sorted vocab ->
+      broadcast-join ids back -> ordered reassembly.  The global
+      row_number window is a SINGLE-PARTITION exchange over the vocab;
+      fine for bounded vocabularies, a scale-killer for open-ended
+      ones — which is why it is not the default.
     """
+    if id_mode == "hash":
+        words = F.split(F.col(text_col), " ")
+        tok = lambda w: (  # noqa: E731
+            F.pmod(F.xxhash64(w), F.lit((1 << 31) - 1)) + F.lit(1)
+        ).cast("int")
+        return documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.transform(words, tok).alias("tokens"),
+            F.size(words).cast("int").alias("n_tok"),
+        )
+    if id_mode != "rank":
+        raise ValueError(f"unknown id_mode {id_mode!r}: use 'hash' or 'rank'")
     words = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.oracle import thornton_oracle_row as _oracle_row
 from pulsarfeatureextractor_spark.functions.scores import (
     SCORE_FIELDS,
     scores_matrix,
@@ -17,66 +18,6 @@ from pulsarfeatureextractor_spark.functions.scores import (
 )
 
 
-def _oracle_row(x: np.ndarray) -> dict:
-    x = x.astype(np.float64)
-    n = len(x)
-    mu, sigma = x.mean(), x.std()
-    lo, hi = x.min(), x.max()
-    p = (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
-    th = 2 * np.pi * np.arange(n) / n
-
-    def fit(A, y):
-        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
-        r = y - A @ beta
-        return beta, (r * r).mean()
-
-    _, sin_chi2 = fit(np.column_stack([np.sin(th), np.cos(th), np.ones(n)]), p)
-    _, sin2_chi2 = fit(np.column_stack([np.sin(2 * th), np.cos(2 * th), np.ones(n)]), p)
-
-    amax = int(x.argmax())
-    rolled = np.roll(p, (n // 2) - amax)
-    d = np.arange(n) - n // 2
-    best = (np.inf, 0.0, 0.0)
-    for frac in (1 / 64, 1 / 32, 1 / 16, 1 / 8, 1 / 4):
-        fwhm = max(frac * n, 1.0)
-        s = fwhm / 2.3548200450309493
-        g = np.exp(-0.5 * (d / s) ** 2)
-        beta, chi2 = fit(np.column_stack([g, np.ones(n)]), rolled)
-        if chi2 < best[0]:
-            best = (chi2, beta[0], fwhm)
-
-    peaks = 0
-    for i in range(n):
-        v = x[i]
-        if v > mu + 2 * sigma and v > x[(i - 1) % n] and v > x[(i + 1) % n]:
-            peaks += 1
-
-    counts = np.zeros(10)
-    for v in p:
-        counts[min(int(v * 10), 9)] += 1
-    counts /= n
-    centers = (np.arange(10) + 0.5) / 10
-    psd = max(p.std(), 1e-9)
-    pdf = np.exp(-0.5 * ((centers - p.mean()) / psd) ** 2)
-    pdf /= pdf.sum()
-
-    half = max(n // 8, 2)
-    win = slice(n // 2 - half, n // 2 + half + 1)
-    xq = d[win].astype(float)
-    _, quad_chi2 = fit(np.column_stack([xq * xq, xq, np.ones_like(xq)]), rolled[win])
-
-    return {
-        "sin_chi2": sin_chi2,
-        "sin2_chi2": sin2_chi2,
-        "gauss_chi2": best[0],
-        "gauss_amp": best[1],
-        "gauss_fwhm": best[2],
-        "n_peaks": float(peaks),
-        "sn_ratio": (x.max() - mu) / sigma if sigma > 0 else 0.0,
-        "hist_dist": np.abs(counts - pdf).sum(),
-        "peak_offset": (amax - n / 2.0) / n,
-        "quad_chi2": quad_chi2,
-    }
 
 
 def test_scores_match_per_row_oracle():

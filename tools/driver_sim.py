@@ -26,15 +26,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """BYTE-COMPATIBLE with the grading driver's _canon: sort columns by
+    name, then sort rows by every column — with NO special handling of
+    list/array cells.  An array-typed output column therefore CRASHES
+    here exactly as it crashes the driver ('unhashable type: list'), so
+    queries must serialize arrays; round 1 shipped two such crashes
+    because this sim silently tuple-converted lists."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
-        elif pdf[c].dtype == object:
-            pdf[c] = pdf[c].map(
-                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                else tuple(v) if isinstance(v, list) else v
-            )
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
