@@ -84,19 +84,18 @@ def _pipeline_from(seqs, snaps, scores: bool = False):
     the moments alone), used by the scaling probe so the measurement is
     compute-dense like production feature extraction.
     """
-    from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.functions.featureset import fused_features_arrow
     from pulsarfeatureextractor_spark.operators.asof import asof_join
     from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
 
-    feats = with_lyon_features(with_event_time(seqs))
-    if scores:
-        from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
-
-        feats = with_thornton_scores(feats)
-    # tokens are consumed by the feature UDFs and must NOT ride the
-    # as-of shuffle — they are ~90% of the bytes and the join only
-    # needs the feature columns (production projection discipline)
-    feats = feats.drop("tokens")
+    # ONE Python boundary: moments + scores fused into a single
+    # mapInArrow pass, input pruned to exactly what the features and the
+    # join need, tokens dropped AT the boundary so they never ride the
+    # Python->JVM return nor the as-of shuffle (~90% of the bytes).
+    seqs = with_event_time(seqs).select("doc_id", "event_time", "tokens")
+    feats = fused_features_arrow(
+        seqs, include_scores=scores, drop=("tokens",)
+    )
     return asof_join(
         feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
         value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
@@ -115,11 +114,19 @@ def _gen_input(spark, n_rows: int, out_dir: str) -> None:
         synthetic_snapshots_distributed,
     )
 
-    synthetic_sequences_distributed(spark, n_rows).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "sequences")
-    )
+    # file-count discipline: a parquet file under the writer's row-group
+    # size is ONE unsplittable scan unit, and the default 128 MB
+    # maxPartitionBytes bin-packs small files into few fat tasks — 64
+    # files of ~13 MB became EIGHT scan tasks, capping the feature stage
+    # at 8-way parallelism regardless of cores.  Write enough files that
+    # every parallelism level gets multiple waves of work.
+    n_files = 256
+    synthetic_sequences_distributed(
+        spark, n_rows, n_partitions=n_files
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "sequences"))
     synthetic_snapshots_distributed(
-        spark, n_rows=max(n_rows // 10, 1000), n_docs=max(int(n_rows * 0.99), 1)
+        spark, n_rows=max(n_rows // 10, 1000), n_docs=max(int(n_rows * 0.99), 1),
+        n_partitions=max(n_files // 4, 8),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "snapshots"))
 
 
@@ -202,7 +209,14 @@ def run_once(cpus: int, n_rows: int, input_dir: str) -> dict:
     from pulsarfeatureextractor_spark.session import get_spark
     from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
 
-    extra = {}
+    extra = {
+        # split sizing for a COMPUTE-DENSE stage: the default 128 MB
+        # bin-packing collapsed the input into 8 scan tasks, starving
+        # every level above 8 cores.  8 MB splits give each core several
+        # waves of ~1-file tasks (the same knob a real 4N-executor
+        # cluster job sets so the scan stage fills the cluster).
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    }
     if os.path.isdir("/dev/shm"):
         # shuffle through tmpfs: the sandbox's VM block device is not
         # representative of cluster-local NVMe; shuffle I/O on it is a

@@ -70,3 +70,68 @@ def extract_features(
         )
         return out
     raise ValueError(f"unknown feature set {feature_set!r}; one of {FEATURE_SETS}")
+
+
+def fused_features_arrow(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    include_scores: bool = True,
+    drop: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """Lyon moments (+ Thornton scores) in ONE ``mapInArrow`` pass —
+    the production hot path for the full per-candidate workload.
+
+    Why this exists: composing ``with_lyon_features`` then
+    ``with_thornton_scores`` plans TWO consecutive PythonMapInArrow
+    operators, i.e. two full JVM→Python→JVM Arrow round-trips in which
+    the token arrays (~90% of the bytes) ride both crossings.  Arrow
+    transfer is memory-bandwidth-bound, so at high core counts the
+    duplicated crossing is contention, not just latency — fusing the
+    two kernels into one pass halves the Python-boundary traffic and
+    measurably improves N→4N scaling efficiency (BENCH/BASELINE.md).
+
+    ``drop`` additionally removes columns from the OUTPUT batches at
+    the Python boundary (typically ``("tokens",)`` once the features
+    are computed) so the return crossing ships only the narrow feature
+    columns instead of echoing the token buffers back to the JVM.
+
+    Results are identical to the composed operators (pytest-pinned:
+    moments bit-exact, scores allclose at 1e-12 — the lstsq kernel is
+    batch-composition-dependent at ~1e-16).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from pulsarfeatureextractor_spark.functions.moments import (
+        LYON_FIELDS,
+        moments_list_array,
+    )
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SCORE_FIELDS,
+        scores_list_array,
+    )
+
+    dropset = set(drop)
+    keep = [f for f in df.schema.fields if f.name not in dropset]
+    feat_names = list(LYON_FIELDS) + (list(SCORE_FIELDS) if include_scores else [])
+    out_schema = T.StructType(
+        list(keep) + [T.StructField(n, T.DoubleType(), True) for n in feat_names]
+    )
+    keep_names = [f.name for f in keep]
+
+    def compute(batches):
+        for batch in batches:
+            tok = batch.column(tokens_col)
+            mats = [moments_list_array(tok)]
+            if include_scores:
+                mats.append(scores_list_array(tok))
+            arrays = [batch.column(n) for n in keep_names]
+            for mat in mats:
+                arrays.extend(
+                    pa.array(mat[:, i], type=pa.float64())
+                    for i in range(mat.shape[1])
+                )
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + feat_names)
+
+    return df.mapInArrow(compute, out_schema)

@@ -1,0 +1,134 @@
+"""Longitudinal N-vs-4N scaling evidence collector.
+
+The sandbox VM has bursty host-level contention: identical runs vary
+2-4x within minutes, and the 32-vCPU level is hit harder than an
+8-vCPU level (the host satisfies a narrow demand more easily).  A
+single scaling measurement therefore samples ONE noise regime and says
+little.  This tool runs (capacity probe, 4-executor trial, 1-executor
+trial) cycles back-to-back for a configurable period and logs every
+sample as a JSON line, so the final report can show:
+
+- the full efficiency distribution across regimes (no cherry-picking),
+- each cycle's CONCURRENT pure-CPU capacity probe: the same 8-vs-32
+  multiprocessing numpy workload with zero Spark — the machine's
+  instantaneous scaling ceiling.  When engine efficiency tracks the
+  probe ceiling cycle-by-cycle, the residual is the host, not the
+  plans.
+
+Capacity probe: rows/s of the REAL feature kernel (moments+scores via
+the engine's numpy code) in 8 pinned procs vs 32 procs — ~15 s.
+
+Usage:
+  python tools/scaling_hunt.py --input-dir DIR --minutes 60 \
+      --out BENCH/scaling_samples.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.cluster_bench import Cluster, make_engine_zip, submit  # noqa: E402
+
+
+def _kernel_work(path: str) -> "tuple[int, float]":
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+    import pyarrow.parquet as pq
+
+    from pulsarfeatureextractor_spark.functions.moments import moments_list_array
+    from pulsarfeatureextractor_spark.functions.scores import scores_list_array
+
+    arr = pq.read_table(path, columns=["tokens"]).column("tokens").combine_chunks()
+    t0 = time.perf_counter()
+    moments_list_array(arr)
+    scores_list_array(arr)
+    return len(arr), time.perf_counter() - t0
+
+
+def _pool_rate(n_procs: int, files: list[str], pin: bool) -> float:
+    ctx = mp.get_context("spawn")
+    if pin and os.path.exists("/usr/bin/taskset"):
+        os.sched_setaffinity(0, set(range(n_procs)))
+    try:
+        with ctx.Pool(n_procs) as p:
+            p.map(_kernel_work, files[:n_procs])  # imports + page cache
+            t0 = time.perf_counter()
+            res = p.map(_kernel_work, files)
+            wall = time.perf_counter() - t0
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+    return sum(r for r, _ in res) / wall
+
+
+def capacity_probe(input_dir: str, n_files: int = 32) -> dict:
+    """Instantaneous machine scaling ceiling on the real numpy kernel."""
+    files = sorted(glob.glob(os.path.join(input_dir, "sequences", "part-*")))
+    files = files[:n_files]
+    r8 = _pool_rate(8, files, pin=True)
+    r32 = _pool_rate(32, files, pin=False)
+    return {"cpu8_rows_per_sec": round(r8, 0), "cpu32_rows_per_sec": round(r32, 0),
+            "ceiling": round(r32 / (4 * r8), 3)}
+
+
+def loadavg() -> float:
+    return os.getloadavg()[0]
+
+
+def one_cycle(input_dir: str, zip_path: str, runs: int) -> dict:
+    rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
+    rec["capacity"] = capacity_probe(input_dir)
+    with Cluster(4):
+        rec["exec4"] = submit(input_dir, zip_path, 32, runs)
+    rec["load_mid"] = loadavg()
+    with Cluster(1):
+        rec["exec1"] = submit(input_dir, zip_path, 8, runs)
+    rec["load_post"] = loadavg()
+    r1 = rec["exec1"]["rows_per_sec"]
+    r4 = rec["exec4"]["rows_per_sec"]
+    rec["efficiency"] = round(r4 / (4 * r1), 3)
+    rec["ceiling"] = rec["capacity"]["ceiling"]
+    rec["efficiency_vs_ceiling"] = (
+        round(rec["efficiency"] / rec["ceiling"], 3) if rec["ceiling"] else None
+    )
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-dir", required=True)
+    ap.add_argument("--minutes", type=float, default=60)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default="BENCH/scaling_samples.jsonl")
+    args = ap.parse_args()
+
+    staging = tempfile.mkdtemp(prefix="hunt_zip_")
+    zip_path = make_engine_zip(staging)
+    deadline = time.time() + args.minutes * 60
+    n = 0
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    while time.time() < deadline:
+        try:
+            rec = one_cycle(args.input_dir, zip_path, args.runs)
+        except Exception as e:  # keep hunting through transient failures
+            rec = {"ts": time.strftime("%H:%M:%S"), "error": f"{type(e).__name__}: {e}"[:400]}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        n += 1
+        print(json.dumps({k: rec.get(k) for k in
+                          ("ts", "efficiency", "ceiling", "efficiency_vs_ceiling",
+                           "error")}), flush=True)
+    print(f"done: {n} cycles -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
