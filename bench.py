@@ -333,7 +333,12 @@ def main() -> None:
     except ValueError:
         sf_num = sf_label
 
-    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="bench",
+        # compute-dense splits: without this the synthetic input
+        # bin-packs into a handful of fat scan tasks (see run_once)
+        extra_confs={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
     t_all = time.perf_counter()
     queries = _bench_testdata(spark, SF_DIR)
     queries.update(_bench_synthetic(spark, args.rows))

@@ -95,6 +95,8 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
 
+    if strategy == "auto":
+        strategy = choose_asof_strategy(left, by_cols)
     if strategy == "window":
         return _asof_window(left, right, on, r_on, by_cols, direction,
                             tolerance, value_cols)
@@ -105,6 +107,44 @@ def asof_join(
         return _asof_bucketed(left, right, on, r_on, by_cols, direction,
                               tolerance, value_cols, bucket_seconds)
     raise ValueError(f"unknown strategy: {strategy}")
+
+
+def choose_asof_strategy(
+    left: DataFrame,
+    by_cols: "list[str]",
+    hot_share_threshold: float = 0.05,
+    sample_fraction: float = 0.01,
+) -> str:
+    """Pick the as-of physical plan from the MEASURED key skew.
+
+    The window plan is cheaper on uniform keys (the bucketed plan pays
+    ~35% overhead when there is no skew), but serializes a hot entity
+    into one sort task (4.8x slower at 50% hot key — BENCH/BASELINE.md
+    skew table).  This probe runs ONE cheap aggregate over a ~1%
+    ROW-level Bernoulli sample of the left side's key column
+    (column-pruned scan, nothing else read) and returns "bucketed" when
+    the hottest key owns more than ``hot_share_threshold`` of the
+    sampled rows, else "window".  A hash-of-key sample would be wrong
+    here: it includes or excludes ALL rows of a key together, so the
+    hot key itself could be missed — rows, not keys, must be sampled.
+
+    Cost: one small Spark job per call — amortized trivially on the
+    hour-scale jobs where the choice matters; callers that know their
+    skew should pass an explicit strategy instead.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in by_cols])
+    top = (
+        left.select(key.alias("__k"))
+        .sample(fraction=sample_fraction, seed=7)
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .first()
+    )
+    if not top or not top["tot"] or top["tot"] < 100:
+        # sample too small to call skew — default plan
+        return "window"
+    return "bucketed" if top["mx"] / top["tot"] >= hot_share_threshold else "window"
 
 
 def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,

@@ -332,3 +332,34 @@ def test_interchange_assembly_cap(spark, tmp_path):
     write_csv(df, d)
     with pytest.raises(ValueError, match="refusing driver-side assembly"):
         assemble_single_file(d, str(tmp_path / "big.csv"), max_bytes=1000)
+
+
+# ---------------------------------------------------------------- as-of auto
+
+def test_asof_auto_strategy_detects_skew(spark):
+    from pulsarfeatureextractor_spark.operators.asof import (
+        asof_join,
+        choose_asof_strategy,
+    )
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    uniform = synthetic_sequences(spark, 20_000, seed=3)
+    skewed = synthetic_sequences(spark, 20_000, seed=3, skew=True)
+    assert choose_asof_strategy(uniform, ["doc_id"], sample_fraction=0.2) == "window"
+    assert choose_asof_strategy(skewed, ["doc_id"], sample_fraction=0.2) == "bucketed"
+
+    # auto == window plan output on uniform data
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        synthetic_snapshots,
+        with_event_time,
+    )
+
+    left = with_event_time(synthetic_sequences(spark, 2_000, seed=5))
+    snaps = synthetic_snapshots(spark, 500, n_docs=1500, seed=6)
+    kw = dict(on="event_time", right_on="obs_time", by="doc_id",
+              value_cols=["f_mean"])
+    auto = asof_join(left, snaps, strategy="auto", **kw)
+    window = asof_join(left, snaps, strategy="window", **kw)
+    a = sorted(map(tuple, auto.select("doc_id", "event_time", "f_mean").collect()))
+    w = sorted(map(tuple, window.select("doc_id", "event_time", "f_mean").collect()))
+    assert a == w
