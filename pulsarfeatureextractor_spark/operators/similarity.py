@@ -104,29 +104,45 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 31,
+    lloyd_iters: int = 5,
+    train_sample: int = 20_000,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists,
     probe the ``n_probe`` nearest cells per query, exact re-rank.
 
-    Centroids are a deterministic hash-sample of the corpus itself
-    (k-means init without the iterations — at real scale you'd run a
-    few Lloyd rounds on a sample; the *inverted-list* structure, which
-    is what bounds the search cost, is identical).  Cell assignment is
-    one Arrow-batched matmul; the only shuffle is the equi-join on
-    cell ids.  Rows per query may be < k when probes miss (recall
-    tunable via n_probe / n_centroids).
+    Centroid training is the standard IVF recipe: a deterministic
+    hash-sample of the corpus seeds k-means, then ``lloyd_iters``
+    spherical Lloyd rounds run DRIVER-SIDE on a bounded training sample
+    (``train_sample`` rows — O(sample x k) numpy, never the corpus).
+    Balanced cells matter twice at scale: recall (queries probe the
+    cells nearest to them) and skew (one fat inverted list is a hot
+    shuffle key).  Cell assignment of the full corpus is one
+    Arrow-batched matmul; the only shuffle is the equi-join on cell
+    ids.  Rows per query may be < k when probes miss (recall tunable
+    via n_probe / n_centroids; recall vs brute force is pytest-pinned).
     """
     import pyspark.sql.functions as SF
 
-    cents = (
-        corpus.select(F.col(vec_col))
-        .withColumn("__h", F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)), F.lit(1 << 31)))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.vstack([np.asarray(r[0], dtype=np.float64) for r in cents])
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    hashed = corpus.select(F.col(vec_col)).withColumn(
+        "__h",
+        F.pmod(
+            F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"),
+                       F.lit(seed)),
+            F.lit(1 << 31),
+        ),
+    ).orderBy("__h")
+    train = hashed.limit(max(n_centroids, min(train_sample, n_centroids * 256)))
+    rows = train.collect()
+    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(max(lloyd_iters, 0)):
+        assign = np.argmax(X @ C.T, axis=1)            # spherical k-means
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def _assign_udf(top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))

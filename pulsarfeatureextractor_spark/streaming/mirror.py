@@ -226,3 +226,20 @@ def streaming_lyon_features(stream: DataFrame, tokens_col: str = "tokens") -> Da
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
 
     return with_lyon_features(stream, tokens_col)
+
+
+def streaming_minhash_signatures(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+) -> DataFrame:
+    """Stateless streaming sketching: the batch MinHash signature path
+    applied verbatim to a stream (shingle -> xxhash64 -> vectorized
+    permutation minima; pure map, no state).  This is the
+    dedup-at-ingest building block — pair it with the watermark pattern
+    of streaming_exact_dedup to drop near-duplicates as documents
+    arrive, instead of re-sketching the corpus in batch."""
+    from pulsarfeatureextractor_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(stream, text_col, id_col, num_perm=num_perm)

@@ -363,3 +363,37 @@ def test_asof_auto_strategy_detects_skew(spark):
     a = sorted(map(tuple, auto.select("doc_id", "event_time", "f_mean").collect()))
     w = sorted(map(tuple, window.select("doc_id", "event_time", "f_mean").collect()))
     assert a == w
+
+
+# ---------------------------------------------------------------- IVF
+
+def test_ivf_lloyd_recall_vs_bruteforce(spark, sf_correct):
+    from pulsarfeatureextractor_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # measured on this fixture: 0.83 with 5 Lloyd iters vs 0.75 raw
+    # hash-sample init (synthetic near-random vectors are the IVF
+    # worst case — real embedding corpora cluster far better)
+    assert recall >= 0.8, recall
+    raw = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8,
+                          lloyd_iters=0).collect()
+    }
+    assert recall >= len(truth & raw) / len(truth)

@@ -148,3 +148,27 @@ def test_streaming_lyon_features_match_batch(spark, tmp_path):
     a, b = _canon(got[cols]), _canon(batch[cols])
     assert np.allclose(a[["mean", "stdev", "skew", "kurt"]],
                        b[["mean", "stdev", "skew", "kurt"]], rtol=1e-9)
+
+
+def test_streaming_minhash_matches_batch(spark, tmp_path):
+    from pulsarfeatureextractor_spark.operators.dedup import minhash_signatures
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+    from pulsarfeatureextractor_spark.streaming.mirror import (
+        streaming_minhash_signatures,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    batch_docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch_docs.coalesce(1).write.parquet(docs_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(docs_dir))
+    got = _run(streaming_minhash_signatures(stream), "t_minhash", spark,
+               str(tmp_path))
+    want = minhash_signatures(spark.read.parquet(docs_dir)).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert all(
+        list(a) == list(b) for a, b in zip(got["signature"], want["signature"])
+    )
