@@ -818,6 +818,42 @@ def label_attach_docs(spark, sf):
     )
 
 
+def peace_features_docs(spark, sf):
+    """A9: PEACE-style six scores (Lee et al. 2013) on the token curve
+    — all JVM expressions, DuckDB-oracle-checked (tail entry)."""
+    from pulsarfeatureextractor_spark.functions.scores import with_peace_features
+
+    d = load_table(spark, sf, "documents")
+    out = with_peace_features(documents_to_sequences(d))
+    return out.select(
+        "doc_id",
+        F.round("peace_snr", 6).alias("peace_snr"),
+        F.round("peace_duty", 6).alias("peace_duty"),
+        F.round("peace_persist", 6).alias("peace_persist"),
+        F.round("peace_top_bottom", 6).alias("peace_top_bottom"),
+        "peace_n_peaks",
+        F.round("peace_mean_adiff", 6).alias("peace_mean_adiff"),
+    )
+
+
+def spinn_features_docs(spark, sf):
+    """A9: SPINN-style six features (Morello et al. 2014) on the token
+    curve — all JVM expressions, DuckDB-oracle-checked (tail entry)."""
+    from pulsarfeatureextractor_spark.functions.scores import with_spinn_features
+
+    d = load_table(spark, sf, "documents")
+    out = with_spinn_features(documents_to_sequences(d))
+    return out.select(
+        "doc_id",
+        F.round("spinn_log_snr", 6).alias("spinn_log_snr"),
+        F.round("spinn_duty", 6).alias("spinn_duty"),
+        F.round("spinn_persist", 6).alias("spinn_persist"),
+        F.round("spinn_log_n", 6).alias("spinn_log_n"),
+        F.round("spinn_contrast", 6).alias("spinn_contrast"),
+        F.round("spinn_tail_frac", 6).alias("spinn_tail_frac"),
+    )
+
+
 def embedding_neardup_exact(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     out = embedding_neardup_pairs(emb, threshold=0.45, exact=True)
@@ -1002,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk_docs": ann_lsh_topk_docs,
         "ann_ivf_topk": ann_ivf_topk,
+        "peace_features_docs": peace_features_docs,
+        "spinn_features_docs": spinn_features_docs,
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
     }
@@ -1027,6 +1065,103 @@ _LANGID_CASE = (
     )
     + " END"
 )
+
+
+_SEQ_X_SQL = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ' '),
+                          w -> CAST(length(w) % 256 AS DOUBLE)) AS x
+    FROM documents
+"""
+
+_STATS_SQL = """
+    SELECT doc_id, x,
+           CAST(len(x) AS INT) AS n,
+           list_min(x) AS mn, list_max(x) AS mx,
+           CAST(list_sum(x) AS DOUBLE) AS s1,
+           CAST(list_sum(list_transform(x, v -> v * v)) AS DOUBLE) AS s2
+    FROM seq
+"""
+
+
+def _seg(i: int, n_chunks: int = 8) -> "tuple[str, str, str]":
+    """1-based (lo, hi, len) SQL for equal chunk i — same floor
+    arithmetic as scores._chunk_bounds."""
+    lo = f"(CAST(floor({i} * n / {n_chunks}) AS INT) + 1)"
+    hi = f"CAST(floor({i + 1} * n / {n_chunks}) AS INT)"
+    return lo, hi, f"({hi} - ({lo} - 1))"
+
+
+def _peace_sql(n_chunks: int = 8) -> str:
+    seg_hits = " + ".join(
+        f"(CASE WHEN list_max(list_slice(x, {lo}, {hi})) > mu + sigma "
+        f"THEN 1 ELSE 0 END)"
+        for lo, hi, _ in (_seg(i, n_chunks) for i in range(n_chunks))
+    )
+    return f"""
+        WITH seq AS ({_SEQ_X_SQL}), s AS ({_STATS_SQL}), m AS (
+            SELECT doc_id, x, n, mn, mx, s1, s2,
+                   s1 / n AS mu,
+                   sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma,
+                   list_sort(x) AS srt,
+                   greatest(CAST(floor(n / 10) AS INT), 1) AS dec
+            FROM s
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN sigma > 0 THEN (mx - mu) / sigma ELSE 0.0 END, 6)
+                   AS peace_snr,
+               ROUND((CASE WHEN mx - mn > 0 THEN (s1 - mn * n) / (mx - mn)
+                           ELSE 0.0 END) / n, 6) AS peace_duty,
+               ROUND(({seg_hits}) / CAST({n_chunks} AS DOUBLE), 6)
+                   AS peace_persist,
+               ROUND((list_sum(list_slice(list_reverse(srt), 1, dec)) / dec)
+                     / (list_sum(list_slice(srt, 1, dec)) / dec + 1.0), 6)
+                   AS peace_top_bottom,
+               CAST(CASE WHEN n >= 3 THEN list_sum(list_transform(range(2, n),
+                        i -> CASE WHEN x[i] > x[i-1] AND x[i] > x[i+1]
+                                   AND x[i] > mu + 2.0 * sigma
+                             THEN 1 ELSE 0 END))
+                    ELSE 0 END AS INT) AS peace_n_peaks,
+               ROUND(CASE WHEN n >= 2
+                          THEN list_sum(list_transform(range(1, n),
+                               i -> abs(x[i+1] - x[i]))) / (n - 1)
+                          ELSE 0.0 END, 6) AS peace_mean_adiff
+        FROM m
+    """
+
+
+def _spinn_sql(n_chunks: int = 8) -> str:
+    def seg_sn(i: int) -> str:
+        lo, hi, ln = _seg(i, n_chunks)
+        mean_i = (
+            f"(CASE WHEN {ln} > 0 "
+            f"THEN list_sum(list_slice(x, {lo}, {hi})) / {ln} ELSE mu END)"
+        )
+        return f"(CASE WHEN sigma > 0 THEN ({mean_i} - mu) / sigma ELSE 0.0 END)"
+
+    sns = [seg_sn(i) for i in range(n_chunks)]
+    persist = " + ".join(f"greatest({s}, 0.0)" for s in sns)
+    contrast = "greatest(" + ", ".join(sns) + ")"
+    return f"""
+        WITH seq AS ({_SEQ_X_SQL}), s AS ({_STATS_SQL}), m AS (
+            SELECT doc_id, x, n, mn, mx, s1, s2,
+                   s1 / n AS mu,
+                   sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+            FROM s
+        )
+        SELECT doc_id,
+               ROUND(ln(1.0 + CASE WHEN sigma > 0 THEN (mx - mu) / sigma
+                                   ELSE 0.0 END), 6) AS spinn_log_snr,
+               ROUND((CASE WHEN mx - mn > 0 THEN (s1 - mn * n) / (mx - mn)
+                           ELSE 0.0 END) / n, 6) AS spinn_duty,
+               ROUND(({persist}) / CAST({n_chunks} AS DOUBLE), 6)
+                   AS spinn_persist,
+               ROUND(ln(CAST(n AS DOUBLE)), 6) AS spinn_log_n,
+               ROUND({contrast}, 6) AS spinn_contrast,
+               ROUND(len(list_filter(x, v -> v > mu + 3.0 * sigma))
+                     / CAST(n AS DOUBLE), 6) AS spinn_tail_frac
+        FROM m
+    """
 
 
 def _values_oracles() -> dict[str, str]:
@@ -1705,5 +1840,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
     }
+    out["peace_features_docs"] = _peace_sql()
+    out["spinn_features_docs"] = _spinn_sql()
     out.update(_values_oracles())
     return out

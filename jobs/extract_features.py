@@ -97,7 +97,7 @@ def main(argv=None) -> dict:
                     help="default --feature-set to 'all' when no explicit "
                          "--feature-set is given")
     ap.add_argument("--feature-set", default=None,
-                    choices=["lyon", "thornton", "stats", "widths", "raw", "all"],
+                    choices=["lyon", "thornton", "stats", "widths", "peace", "spinn", "raw", "all"],
                     help="feature family to emit (reference -t switch "
                          "analogue; default lyon, or all with --scores)")
     ap.add_argument("--partition-cols", default="source")

@@ -15,6 +15,11 @@ patterns).  Sets:
   JVM-only tier for cheap prefiltering.
 - ``widths``    : Eatough-style pulse-width / peak-shape features
   (W50/W25 proxies, peak-to-mean, crest) — JVM-only.
+- ``peace``     : Lee et al. 2013 PEACE-style six scores (S/N, duty,
+  segment persistence, decile contrast, peaks, smoothness) — JVM-only.
+- ``spinn``     : Morello et al. 2014 SPINN-style six features
+  (log S/N, duty, persistence, contrast, tail fraction, log length) —
+  JVM-only, documented substitutions for absent DM/period inputs.
 - ``raw``       : the token array cast to double, unmodified — the
   raw-bins passthrough set (classifier-side normalization).
 - ``all``       : lyon + thornton + widths + stats.
@@ -28,7 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SETS = ("lyon", "thornton", "stats", "widths", "raw", "all")
+FEATURE_SETS = (
+    "lyon", "thornton", "stats", "widths", "peace", "spinn", "raw", "all"
+)
 
 
 def extract_features(
@@ -51,6 +58,14 @@ def extract_features(
         from pulsarfeatureextractor_spark.functions.scores import with_width_features
 
         return with_width_features(df, tokens_col)
+    if feature_set == "peace":
+        from pulsarfeatureextractor_spark.functions.scores import with_peace_features
+
+        return with_peace_features(df, tokens_col)
+    if feature_set == "spinn":
+        from pulsarfeatureextractor_spark.functions.scores import with_spinn_features
+
+        return with_spinn_features(df, tokens_col)
     if feature_set == "raw":
         return df.withColumn(
             "raw_bins",

@@ -275,3 +275,161 @@ def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFra
         df.withColumn("sn_ratio", F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0)))
         .withColumn("peak_offset", ((amax - 1) - n / F.lit(2.0)) / n)
     )
+
+
+def _chunk_bounds(n, n_chunks: int, i: int):
+    """1-based (start, length) of equal chunk i — floor arithmetic
+    pinned identically in the DuckDB oracles (explicit floor(), never a
+    round-to-nearest cast)."""
+    lo = F.floor(F.lit(i) * n / F.lit(n_chunks))
+    hi = F.floor(F.lit(i + 1) * n / F.lit(n_chunks))
+    return (lo + 1).cast("int"), (hi - lo).cast("int")
+
+
+def with_peace_features(
+    df: DataFrame, tokens_col: str = "tokens", n_chunks: int = 8
+) -> DataFrame:
+    """PEACE-style six-score family (Lee et al. 2013, MNRAS 433:688)
+    recast onto the 1-D token curve, all JVM expressions.
+
+    The published six scores rate S/N, pulse width, persistence through
+    sub-integrations, and profile shape.  The input hint carries one
+    curve per candidate (no sub-integration cube), so persistence is
+    computed over ``n_chunks`` equal segments of the curve — the same
+    statistic on the available axis; the remaining scores are the
+    direct curve definitions:
+
+    - peace_snr        : (max - mean) / sigma
+    - peace_duty       : equivalent-width duty cycle sum(p)/n,
+                         p = (x-min)/(max-min)
+    - peace_persist    : fraction of segments whose max exceeds
+                         mean + sigma (persistence analogue)
+    - peace_top_bottom : mean of the top decile of sorted values over
+                         (mean of the bottom decile + 1)
+    - peace_n_peaks    : local maxima above mean + 2 sigma
+    - peace_mean_adiff : mean |x[i+1] - x[i]| (profile smoothness)
+    """
+    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
+    n = F.size(F.col(tokens_col))
+    mn, mx = F.array_min(x), F.array_max(x)
+    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    mu = s1 / n
+    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    rng = mx - mn
+    p_sum = F.when(rng > 0, (s1 - mn * n) / rng).otherwise(F.lit(0.0))
+
+    seg_hits = sum(
+        F.when(
+            F.array_max(F.slice(x, *_chunk_bounds(n, n_chunks, i))) > mu + sigma,
+            1,
+        ).otherwise(0)
+        for i in range(n_chunks)
+    )
+    dec = F.greatest(F.floor(n / F.lit(10)).cast("int"), F.lit(1))
+    srt = F.array_sort(x)
+    top_mean = F.aggregate(
+        F.slice(F.reverse(srt), 1, dec), F.lit(0.0), lambda a, v: a + v
+    ) / dec
+    bot_mean = F.aggregate(F.slice(srt, 1, dec), F.lit(0.0), lambda a, v: a + v) / dec
+    thr = mu + F.lit(2.0) * sigma
+    peaks = F.when(
+        n >= 3,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(2), n - 1),
+                lambda i: F.when(
+                    (F.element_at(x, i) > F.element_at(x, i - 1))
+                    & (F.element_at(x, i) > F.element_at(x, i + 1))
+                    & (F.element_at(x, i) > thr),
+                    1,
+                ).otherwise(0),
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        ),
+    ).otherwise(F.lit(0))
+    adiff = F.when(
+        n >= 2,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.abs(F.element_at(x, i + 1) - F.element_at(x, i)),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ) / (n - 1),
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("peace_snr",
+                      F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0)))
+        .withColumn("peace_duty", p_sum / n)
+        .withColumn("peace_persist", seg_hits / F.lit(float(n_chunks)))
+        .withColumn("peace_top_bottom", top_mean / (bot_mean + F.lit(1.0)))
+        .withColumn("peace_n_peaks", peaks.cast("int"))
+        .withColumn("peace_mean_adiff", adiff)
+    )
+
+
+def with_spinn_features(
+    df: DataFrame, tokens_col: str = "tokens", n_chunks: int = 8
+) -> DataFrame:
+    """SPINN-style six-feature family (Morello et al. 2014, MNRAS
+    443:1651) recast onto the 1-D token curve, all JVM expressions.
+
+    SPINN's published features are log(S/N), intrinsic equivalent duty
+    cycle, proper-motion/DM terms, and persistence through the
+    observation.  DM and barycentric-period inputs are absent from the
+    hinted input shape, so the two features that need them use
+    documented curve-side substitutions (log length as the period-axis
+    proxy; segment-mean contrast for the optimization-validity term):
+
+    - spinn_log_snr   : ln(1 + snr)
+    - spinn_duty      : equivalent-width duty cycle (as PEACE)
+    - spinn_persist   : mean over segments of max(segment S/N, 0),
+                        segment S/N = (segment mean - mean) / sigma
+    - spinn_log_n     : ln(n)  [period-axis proxy — DM absent]
+    - spinn_contrast  : (max segment mean - mean) / sigma
+    - spinn_tail_frac : fraction of samples above mean + 3 sigma
+    """
+    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
+    n = F.size(F.col(tokens_col))
+    mn, mx = F.array_min(x), F.array_max(x)
+    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    mu = s1 / n
+    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    rng = mx - mn
+    p_sum = F.when(rng > 0, (s1 - mn * n) / rng).otherwise(F.lit(0.0))
+    snr = F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0))
+
+    def seg_mean(i):
+        lo, ln = _chunk_bounds(n, n_chunks, i)
+        return F.when(
+            ln > 0,
+            F.aggregate(F.slice(x, lo, ln), F.lit(0.0), lambda a, v: a + v) / ln,
+        ).otherwise(mu)
+
+    seg_sns = [
+        F.when(sigma > 0, (seg_mean(i) - mu) / sigma).otherwise(F.lit(0.0))
+        for i in range(n_chunks)
+    ]
+    persist = sum(F.greatest(s, F.lit(0.0)) for s in seg_sns) / F.lit(
+        float(n_chunks)
+    )
+    contrast = F.greatest(*seg_sns) if len(seg_sns) > 1 else seg_sns[0]
+    thr3 = mu + F.lit(3.0) * sigma
+    tail = F.size(F.filter(x, lambda v: v > thr3)) / n.cast("double")
+
+    return (
+        # ln(1 + snr) written as log(1 + x), NOT log1p: the DuckDB
+        # oracle computes ln(1+x), and parity of the exact expression
+        # tree is what makes round(6) hash-stable
+        df.withColumn("spinn_log_snr", F.log(F.lit(1.0) + snr))
+        .withColumn("spinn_duty", p_sum / n)
+        .withColumn("spinn_persist", persist)
+        .withColumn("spinn_log_n", F.log(n.cast("double")))
+        .withColumn("spinn_contrast", contrast)
+        .withColumn("spinn_tail_frac", tail)
+    )

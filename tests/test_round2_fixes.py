@@ -397,3 +397,40 @@ def test_ivf_lloyd_recall_vs_bruteforce(spark, sf_correct):
                           lloyd_iters=0).collect()
     }
     assert recall >= len(truth & raw) / len(truth)
+
+
+# ---------------------------------------------------------------- A9 sets
+
+def test_peace_spinn_edge_cases(spark):
+    from pulsarfeatureextractor_spark.functions.scores import (
+        with_peace_features,
+        with_spinn_features,
+    )
+
+    df = spark.createDataFrame(
+        [("const", [7] * 64), ("tiny", [1, 9]), ("single", [5])],
+        "doc_id string, tokens array<int>",
+    )
+    p = {r["doc_id"]: r for r in with_peace_features(df).collect()}
+    s = {r["doc_id"]: r for r in with_spinn_features(df).collect()}
+    # constant curve: zero S/N, no peaks, flat smoothness
+    assert p["const"]["peace_snr"] == 0.0
+    assert p["const"]["peace_n_peaks"] == 0
+    assert p["const"]["peace_mean_adiff"] == 0.0
+    assert s["const"]["spinn_log_snr"] == 0.0
+    assert s["const"]["spinn_tail_frac"] == 0.0
+    # n=2: no interior points -> no peaks; adiff over one gap
+    assert p["tiny"]["peace_n_peaks"] == 0
+    assert p["tiny"]["peace_mean_adiff"] == 8.0
+    # n=1: all guards fire, nothing NULL/NaN
+    for row in (p["single"], s["single"]):
+        assert all(v is not None for v in row.asDict().values())
+
+
+def test_peace_spinn_featureset_wiring(spark):
+    from pulsarfeatureextractor_spark.functions.featureset import extract_features
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    seqs = synthetic_sequences(spark, 50, seed=2)
+    assert "peace_snr" in extract_features(seqs, "peace").columns
+    assert "spinn_duty" in extract_features(seqs, "spinn").columns
