@@ -22,6 +22,7 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.functions.featureset import fused_features_arrow
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
     from pulsarfeatureextractor_spark.session import get_spark
     from pulsarfeatureextractor_spark.sources.readers import load_table
@@ -70,6 +71,17 @@ def main() -> None:
          "tokenize (JVM) -> moments (Arrow) -> as-of (window) — the "
          "composition the driver checks end-to-end vs DuckDB ASOF:",
          entry.pipeline_pointintime_features(spark, SF)),
+        ("Fused scaling workload (ONE Python crossing)",
+         "moments + Thornton scores in a single PythonMapInArrow whose "
+         "output schema already drops the token arrays — exactly one "
+         "Python operator and one exchange in the whole pipeline:",
+         asof_join(
+             fused_features_arrow(
+                 seqs.select("doc_id", "event_time", "tokens"),
+                 include_scores=True, drop=("tokens",)),
+             snaps, on="event_time", right_on="obs_time", by="doc_id",
+             value_cols=["f_mean", "f_std"], strategy="window",
+         ).select("doc_id", "event_time", "mean", "stdev", "f_mean")),
     ]
 
     out = ["# PLANS — `explain(\"formatted\")` for the load-bearing plans",
