@@ -44,8 +44,14 @@ import zipfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MASTER_PORT = 7077
-MASTER_URL = f"spark://127.0.0.1:{MASTER_PORT}"
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 def _pyspark_home() -> str:
@@ -95,31 +101,38 @@ def make_engine_zip(out_dir: str) -> str:
 
 
 class Cluster:
-    """A pinned standalone cluster: master + n_workers x 8-core workers."""
+    """A pinned standalone cluster: master + n_workers x 8-core workers.
+
+    Every instance binds its own free master/webui ports so concurrent
+    harnesses can never cross-register workers (a shared well-known
+    port once silently merged two clusters into one 64-core pool)."""
 
     def __init__(self, n_workers: int, cores_per_worker: int = 8):
         self.procs: list[subprocess.Popen] = []
         self.n_workers = n_workers
         self.cores = cores_per_worker
+        self.master_url = ""
 
     def __enter__(self):
+        port = _free_port()
+        self.master_url = f"spark://127.0.0.1:{port}"
         self.procs.append(_spark_class(
             "org.apache.spark.deploy.master.Master",
-            ["--host", "127.0.0.1", "--port", str(MASTER_PORT),
-             "--webui-port", "8090"],
+            ["--host", "127.0.0.1", "--port", str(port),
+             "--webui-port", str(_free_port())],
             taskset=None, env_extra={}))
         time.sleep(2.0)
         for i in range(self.n_workers):
             lo = i * self.cores
             hi = lo + self.cores - 1
-            work_dir = f"/dev/shm/spark_worker_{i}" if os.path.isdir("/dev/shm") \
+            work_dir = f"/dev/shm/spark_worker_{port}_{i}" if os.path.isdir("/dev/shm") \
                 else tempfile.mkdtemp(prefix=f"spark_worker_{i}_")
             os.makedirs(work_dir, exist_ok=True)
             self.procs.append(_spark_class(
                 "org.apache.spark.deploy.worker.Worker",
                 ["--host", "127.0.0.1", "--cores", str(self.cores),
                  "--memory", "14g", "--work-dir", work_dir,
-                 "--webui-port", str(8190 + i), MASTER_URL],
+                 "--webui-port", str(_free_port()), self.master_url],
                 taskset=f"{lo}-{hi}",
                 env_extra={"SPARK_LOCAL_DIRS": work_dir}))
         time.sleep(3.0)
@@ -136,10 +149,12 @@ class Cluster:
         return False
 
 
-def submit(input_dir: str, zip_path: str, total_cores: int, runs: int) -> dict:
+def submit(input_dir: str, zip_path: str, total_cores: int, runs: int,
+           extra_confs: "list[str] | None" = None,
+           master_url: str = "") -> dict:
     spark_submit = os.path.join(_pyspark_home(), "bin", "spark-submit")
     cmd = [
-        spark_submit, "--master", MASTER_URL,
+        spark_submit, "--master", master_url,
         "--deploy-mode", "client",
         "--py-files", zip_path,
         "--conf", "spark.executor.cores=8",
@@ -149,8 +164,12 @@ def submit(input_dir: str, zip_path: str, total_cores: int, runs: int) -> dict:
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
         "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=60s",
+    ]
+    for c in extra_confs or []:
+        cmd += ["--conf", c]
+    cmd += [
         os.path.join(REPO, "jobs", "scaling_job.py"),
-        "--input", input_dir, "--runs", str(runs), "--master", MASTER_URL,
+        "--input", input_dir, "--runs", str(runs), "--master", master_url,
         "--shuffle-partitions", str(max(total_cores, 8)),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
@@ -161,8 +180,9 @@ def submit(input_dir: str, zip_path: str, total_cores: int, runs: int) -> dict:
 
 
 def run_level(n_workers: int, input_dir: str, zip_path: str, runs: int) -> dict:
-    with Cluster(n_workers):
-        out = submit(input_dir, zip_path, n_workers * 8, runs)
+    with Cluster(n_workers) as c:
+        out = submit(input_dir, zip_path, n_workers * 8, runs,
+                     master_url=c.master_url)
     out["n_executors"] = n_workers
     return out
 

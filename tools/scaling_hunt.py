@@ -87,11 +87,13 @@ def loadavg() -> float:
 def one_cycle(input_dir: str, zip_path: str, runs: int) -> dict:
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
     rec["capacity"] = capacity_probe(input_dir)
-    with Cluster(4):
-        rec["exec4"] = submit(input_dir, zip_path, 32, runs)
+    with Cluster(4) as c4:
+        rec["exec4"] = submit(input_dir, zip_path, 32, runs,
+                              master_url=c4.master_url)
     rec["load_mid"] = loadavg()
-    with Cluster(1):
-        rec["exec1"] = submit(input_dir, zip_path, 8, runs)
+    with Cluster(1) as c1:
+        rec["exec1"] = submit(input_dir, zip_path, 8, runs,
+                              master_url=c1.master_url)
     rec["load_post"] = loadavg()
     r1 = rec["exec1"]["rows_per_sec"]
     r4 = rec["exec4"]["rows_per_sec"]
