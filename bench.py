@@ -52,6 +52,7 @@ HEADLINE = [
     "lyon_features_docs",          # Arrow-vectorized moment UDF
     "dedup_exact_docs",            # exact dedup
     "minhash_signatures_docs",     # MinHash sketch
+    "simhash_signatures_docs",     # single-pass Arrow simhash (vs 64-fold SQL)
     "ann_cosine_topk",             # brute-force ANN
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
