@@ -122,3 +122,14 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = spark.table("t_dedup")
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_fluent_fused_features(spark):
+    from pulsarfeatureextractor_spark.store import FeatureFrame
+    from pulsarfeatureextractor_spark.sources.tokenized import synthetic_sequences
+
+    ff = FeatureFrame(spark, synthetic_sequences(spark, 100, seed=4))
+    out = ff.fused_features(include_scores=True).df
+    assert "tokens" not in out.columns
+    assert {"mean", "stdev", "sin_chi2", "sn_ratio"} <= set(out.columns)
+    assert out.count() == 100
