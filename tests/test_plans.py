@@ -115,3 +115,36 @@ def test_salted_join_no_skew_partition(spark):
     plan = _optimized(joined)
     assert "salt" in plan.lower()
     assert joined.count() == 1000
+
+
+def test_fused_pipeline_one_python_one_exchange(spark):
+    """The full scaling workload (fused features + as-of) must plan
+    EXACTLY one Python operator and one exchange — the invariant behind
+    the N->4N scaling posture (BENCH/BASELINE.md)."""
+    from pulsarfeatureextractor_spark.functions.featureset import (
+        fused_features_arrow,
+    )
+    from pulsarfeatureextractor_spark.operators.asof import asof_join
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        synthetic_sequences,
+        synthetic_snapshots,
+        with_event_time,
+    )
+
+    seqs = with_event_time(synthetic_sequences(spark, 200)).select(
+        "doc_id", "event_time", "tokens"
+    )
+    snaps = synthetic_snapshots(spark, 100, 150)
+    out = asof_join(
+        fused_features_arrow(seqs, include_scores=True, drop=("tokens",)),
+        snaps, on="event_time", right_on="obs_time", by="doc_id",
+        value_cols=["f_mean", "f_std"], strategy="window",
+    ).select("doc_id", "event_time", "mean", "stdev", "f_mean")
+    plan = _plan(out)
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # token arrays are dropped AT the Python boundary: no tokens column
+    # may appear anywhere downstream of the map
+    post = plan.split("MapInArrow")[0]
+    assert "tokens" not in post
