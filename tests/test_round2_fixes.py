@@ -434,3 +434,56 @@ def test_peace_spinn_featureset_wiring(spark):
     seqs = synthetic_sequences(spark, 50, seed=2)
     assert "peace_snr" in extract_features(seqs, "peace").columns
     assert "spinn_duty" in extract_features(seqs, "spinn").columns
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                      # row is valid?
+            st.integers(min_value=0, max_value=9),  # extent (null rows may own one!)
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_moments_list_array_any_layout(rows, seed):
+    """moments_list_array must be exact for EVERY legal Arrow layout:
+    any mix of valid/null slots where null slots may own buffer extent."""
+    import pyarrow as pa
+
+    from pulsarfeatureextractor_spark.functions.moments import (
+        moments_list_array,
+        moments_offsets,
+    )
+
+    rng = np.random.default_rng(seed)
+    values, offsets, mask = [], [0], []
+    compact_vals, compact_offs = [], [0]
+    for valid, extent in rows:
+        chunk = rng.integers(0, 256, extent).tolist()
+        values += chunk
+        offsets.append(offsets[-1] + extent)
+        mask.append(not valid)
+        if valid:
+            compact_vals += chunk
+            compact_offs.append(compact_offs[-1] + extent)
+        else:
+            compact_offs.append(compact_offs[-1])
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(values, type=pa.int32()),
+        mask=pa.array(mask),
+    )
+    got = moments_list_array(arr)
+    want = moments_offsets(
+        np.asarray(compact_vals, dtype=np.float64),
+        np.asarray(compact_offs, dtype=np.int64),
+    )
+    assert np.array_equal(got, want)
