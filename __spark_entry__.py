@@ -986,13 +986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_distinct_users": event_type_distinct_users,
         "topk_orders_per_segment": topk_orders_per_segment,
         "custkeys_1995_not_1996": custkeys_1995_not_1996,
-        "custkeys_1995_and_1996": custkeys_1995_and_1996,
         "union_event_slices": union_event_slices,
         "json_props_stats": json_props_stats,
         "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
-        "brand_revenue": brand_revenue,
-        "supplier_nation_stats": supplier_nation_stats,
         "top_unshipped_orders": top_unshipped_orders,
         "orders_above_customer_avg": orders_above_customer_avg,
         "asof_purchase_before_view": asof_purchase_before_view,
@@ -1006,7 +1003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "error_followup_count": error_followup_count,
         "user_activity_features": user_activity_features,
-        "grouping_sets_lineitem": grouping_sets_lineitem,
         "token_invariant_check": token_invariant_check,
         "token_histogram_udtf": token_histogram_udtf,
         "vocab_tokenize_docs": vocab_tokenize_docs,
@@ -1026,20 +1022,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_norms_by_label": embedding_norms_by_label,
         "ann_cosine_topk": ann_cosine_topk,
+        "peace_features_docs": peace_features_docs,
+        "spinn_features_docs": spinn_features_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "embedding_neardup_exact": embedding_neardup_exact,
         # ---- tail: pytest-gated extras beyond the driver window ----
+        # (redundant TPC-H shape demos that went green in round 1, id-scheme
+        # variants, and the approx/sketch surfaces whose exactness is pinned
+        # by pytest rather than a SQL oracle)
+        "custkeys_1995_and_1996": custkeys_1995_and_1996,
+        "brand_revenue": brand_revenue,
+        "supplier_nation_stats": supplier_nation_stats,
+        "grouping_sets_lineitem": grouping_sets_lineitem,
         "vocab_tokenize_rank_docs": vocab_tokenize_rank_docs,
         "big_spender_customers": big_spender_customers,
         "shipmode_priority_counts": shipmode_priority_counts,
         "branded_small_qty_revenue": branded_small_qty_revenue,
-        "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "minhash_signatures_docs": minhash_signatures_docs,
         "simhash_signatures_docs": simhash_signatures_docs,
-        "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk_docs": ann_lsh_topk_docs,
         "ann_ivf_topk": ann_ivf_topk,
-        "peace_features_docs": peace_features_docs,
-        "spinn_features_docs": spinn_features_docs,
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
     }
