@@ -966,6 +966,220 @@ def pipeline_pointintime_features(spark, sf):
     return _flagship(spark, sf)
 
 
+# --------------------------------------------------------------------------
+# sink / exchange / UDF-surface / streaming driver gates
+#
+# These queries close the last §2B rows that round 1 could only
+# pytest-verify (S1, S3/S4, O2, V1, X1-X4): each runs the actual
+# machinery (manifest commit, resumable sink, range exchange, scalar
+# pandas UDF, Structured Streaming into a memory sink) INSIDE the
+# callable and returns a DataFrame a plain DuckDB batch oracle can
+# differentially verify.
+# --------------------------------------------------------------------------
+
+def snapshot_scan_docs(spark, sf):
+    """S1 driver gate: commit documents into an IcebergLike table in TWO
+    append snapshots (split on doc_id parity, hive-partitioned by
+    source), then scan the LATEST snapshot.  The DuckDB differential
+    against the raw documents view proves the manifest commit chain and
+    the snapshot scan (incl. partition-column rebuild) reproduce the
+    table exactly.  SURVEY.md §1.4/§2B S1."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tbl = IcebergLikeTable(tempfile.mkdtemp(prefix="snapshot_scan_docs_"))
+    tbl.write(d.where(F.col("doc_id") % 2 == 0), partition_by=["source"])
+    tbl.write(d.where(F.col("doc_id") % 2 != 0), partition_by=["source"])
+    return tbl.read(spark).select("doc_id", "lang", "source", "n_chars")
+
+
+def partitioned_sink_resume_docs(spark, sf):
+    """S3+S4 driver gate: resumable partitioned sink end-to-end.  Run 1
+    is killed after one 3-partition batch (simulated mid-run kill);
+    run 2 resumes from the checkpoint manifest and re-emits ONLY the
+    missing partitions (lineage sidecars land per partition).  Reading
+    the sink back must equal the full input — DuckDB differential.
+    SURVEY.md §2B S3/S4."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sinks.partitioned import run_partitioned_job
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="partitioned_sink_docs_")
+    try:
+        run_partitioned_job(
+            d, out_dir, ["source"], batch_size=3, fail_after_batches=1,
+            lineage={"job": "driver-gate"},
+        )
+    except RuntimeError:
+        pass  # the simulated kill between batches
+    run_partitioned_job(d, out_dir, ["source"], batch_size=3,
+                        lineage={"job": "driver-gate"})
+    return spark.read.parquet(out_dir).select("doc_id", "source", "n_chars")
+
+
+def range_partition_sorted_events(spark, sf):
+    """O2 driver gate: range repartition + partition-local sort, audited
+    distributively.  mapInPandas emits one row per task (row count,
+    intra-partition lex-order violations, first/last key); a window
+    over partition id counts cross-partition boundary inversions.  A
+    correct range exchange yields exactly (COUNT(*), 0, 0) — the
+    invariant-check pattern of token_invariant_check.  SURVEY.md §2B
+    O2 (+V3 for the audit)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    rp = e.repartitionByRange(8, "user_id", "ts").sortWithinPartitions(
+        "user_id", "ts"
+    )
+
+    schema = ("pid int, n long, intra long, "
+              "first_uid long, first_us long, last_uid long, last_us long")
+
+    def audit(pdfs):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        viol = 0
+        first = None
+        last = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            uid = pdf["user_id"].to_numpy()
+            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            if last is not None and (
+                uid[0] < last[0] or (uid[0] == last[0] and us[0] < last[1])
+            ):
+                viol += 1
+            du = np.diff(uid)
+            dt = np.diff(us)
+            viol += int(((du < 0) | ((du == 0) & (dt < 0))).sum())
+            n += len(uid)
+            if first is None:
+                first = (int(uid[0]), int(us[0]))
+            last = (int(uid[-1]), int(us[-1]))
+        if n:
+            yield pd.DataFrame([{
+                "pid": pid, "n": n, "intra": viol,
+                "first_uid": first[0], "first_us": first[1],
+                "last_uid": last[0], "last_us": last[1],
+            }])
+
+    per = rp.mapInPandas(audit, schema=schema)
+    w = Window.orderBy("pid")
+    prev_uid = F.lag("last_uid").over(w)
+    prev_us = F.lag("last_us").over(w)
+    audited = per.select(
+        "n", "intra",
+        F.when(
+            (prev_uid > F.col("first_uid"))
+            | ((prev_uid == F.col("first_uid")) & (prev_us > F.col("first_us"))),
+            1,
+        ).otherwise(0).alias("boundary"),
+    )
+    return audited.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("intra").alias("intra_violations"),
+        F.sum("boundary").cast("long").alias("boundary_inversions"),
+    )
+
+
+def lyon_pandas_udf_docs(spark, sf):
+    """V1 driver gate: the scalar Arrow ``@pandas_udf`` moment path
+    (struct return) — same pinned expression order as the mapInArrow
+    default, so it hits the same DuckDB oracle bit-for-bit.
+    SURVEY.md §2C V1."""
+    from pulsarfeatureextractor_spark.functions.moments import lyon_moments
+
+    seqs = documents_to_sequences(load_table(spark, sf, "documents"))
+    m = seqs.select("doc_id", lyon_moments("tokens").alias("m"))
+    return m.select(
+        "doc_id",
+        F.round(F.col("m.mean"), 6).alias("mean"),
+        F.round(F.col("m.stdev"), 6).alias("stdev"),
+        F.round(F.col("m.skew"), 6).alias("skew"),
+        F.round(F.col("m.kurt"), 6).alias("kurt"),
+    )
+
+
+def _events_stream(spark, sf):
+    """Replay bridge (tests/test_streaming.py pattern): rewrite events
+    as ONE parquet file with the declared schema and open it as a
+    file-source stream — a deterministic single-trigger replay under
+    ``trigger(availableNow=True)``."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.streaming.mirror import (
+        stream_events_from_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    src = f"{d}/events"
+    load_table(spark, sf, "events").coalesce(1).write.parquet(src)
+    return stream_events_from_table(spark, src), d
+
+
+def streaming_tumbling_counts_events(spark, sf):
+    """X1+X2+X3 driver gate: file-source stream → watermark → tumbling
+    1h windows → memory sink under availableNow, returned as a
+    DataFrame and differentially checked against a batch DuckDB
+    date_trunc aggregate.  value is pre-cast to exact integer cents so
+    the windowed SUM is associative on both engines."""
+    import uuid
+
+    from pulsarfeatureextractor_spark.streaming.mirror import (
+        streaming_tumbling_counts,
+    )
+
+    stream, d = _events_stream(spark, sf)
+    stream = stream.withColumn("value", _cents(F.col("value")))
+    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tumbling_counts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "w_start", "w_end", "event_type", "n_events",
+        F.col("sum_value").alias("value_cents"),
+    )
+
+
+def streaming_stateful_asof_events(spark, sf):
+    """X4 driver gate: stateful streaming AS-OF
+    (``applyInPandasWithState``, one double of state per entity)
+    replayed under availableNow and checked against DuckDB's native
+    ASOF JOIN — the online twin of asof_purchase_before_view, sharing
+    its oracle."""
+    import uuid
+
+    from pulsarfeatureextractor_spark.streaming.mirror import streaming_asof_state
+
+    stream, d = _events_stream(spark, sf)
+    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_asof_state(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "event_id", "user_id", "ts", "last_purchase_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -981,7 +1195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": revenue_by_nation,
         "region_customer_stats": region_customer_stats,
         "segment_customers_with_orders": segment_customers_with_orders,
-        "segment_customers_without_orders": segment_customers_without_orders,
         "rollup_lineitem_status": rollup_lineitem_status,
         "event_type_distinct_users": event_type_distinct_users,
         "topk_orders_per_segment": topk_orders_per_segment,
@@ -995,16 +1208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_before_view": asof_purchase_before_view,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
         "asof_bucketed_plan_purchases": asof_bucketed_plan_purchases,
-        "asof_tolerance_1d": asof_tolerance_1d,
         "lag_lead_events": lag_lead_events,
         "ffill_purchase_value": ffill_purchase_value,
-        "bfill_purchase_value": bfill_purchase_value,
         "rolling_7d_user_value": rolling_7d_user_value,
         "sessionize_events": sessionize_events,
         "error_followup_count": error_followup_count,
-        "user_activity_features": user_activity_features,
         "token_invariant_check": token_invariant_check,
-        "token_histogram_udtf": token_histogram_udtf,
+        "snapshot_scan_docs": snapshot_scan_docs,
+        "partitioned_sink_resume_docs": partitioned_sink_resume_docs,
+        "range_partition_sorted_events": range_partition_sorted_events,
+        "lyon_pandas_udf_docs": lyon_pandas_udf_docs,
+        "streaming_tumbling_counts_events": streaming_tumbling_counts_events,
+        "streaming_stateful_asof_events": streaming_stateful_asof_events,
         "vocab_tokenize_docs": vocab_tokenize_docs,
         "raw_bins_passthrough": raw_bins_passthrough,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1013,7 +1228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": langid_docs,
         "lyon_features_docs": lyon_features_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
-        "profile_stats_docs": profile_stats_docs,
         "width_features_docs": width_features_docs,
         "lyon8_two_curve_docs": lyon8_two_curve_docs,
         "label_attach_docs": label_attach_docs,
@@ -1034,6 +1248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": brand_revenue,
         "supplier_nation_stats": supplier_nation_stats,
         "grouping_sets_lineitem": grouping_sets_lineitem,
+        "segment_customers_without_orders": segment_customers_without_orders,
+        "asof_tolerance_1d": asof_tolerance_1d,
+        "bfill_purchase_value": bfill_purchase_value,
+        "user_activity_features": user_activity_features,
+        "profile_stats_docs": profile_stats_docs,
+        "token_histogram_udtf": token_histogram_udtf,
         "vocab_tokenize_rank_docs": vocab_tokenize_rank_docs,
         "big_spender_customers": big_spender_customers,
         "shipmode_priority_counts": shipmode_priority_counts,
@@ -1842,8 +2062,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        "snapshot_scan_docs": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "partitioned_sink_resume_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+        """,
+        "range_partition_sorted_events": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(0 AS BIGINT) AS intra_violations,
+                   CAST(0 AS BIGINT) AS boundary_inversions
+            FROM events
+        """,
+        "streaming_tumbling_counts_events": """
+            SELECT date_trunc('hour', ts) AS w_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
     }
     out["peace_features_docs"] = _peace_sql()
     out["spinn_features_docs"] = _spinn_sql()
+    # same math, same oracle: the scalar pandas-UDF path reproduces the
+    # mapInArrow moment path bit-for-bit, and the streaming stateful
+    # as-of is the online twin of the batch as-of query.
+    out["lyon_pandas_udf_docs"] = out["lyon_features_docs"]
+    out["streaming_stateful_asof_events"] = out["asof_purchase_before_view"]
     out.update(_values_oracles())
     return out
