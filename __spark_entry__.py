@@ -1148,7 +1148,9 @@ def streaming_tumbling_counts_events(spark, sf):
         .option("checkpointLocation", f"{d}/ckpt")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):  # partial table would fake the diff
+        q.stop()
+        raise RuntimeError("streaming tumbling replay did not finish")
     return spark.table(name).select(
         "w_start", "w_end", "event_type", "n_events",
         F.col("sum_value").alias("value_cents"),
@@ -1174,7 +1176,9 @@ def streaming_stateful_asof_events(spark, sf):
         .option("checkpointLocation", f"{d}/ckpt")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):  # partial table would fake the diff
+        q.stop()
+        raise RuntimeError("streaming as-of replay did not finish")
     return spark.table(name).select(
         "event_id", "user_id", "ts", "last_purchase_value"
     )
