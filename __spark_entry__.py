@@ -1184,6 +1184,41 @@ def streaming_stateful_asof_events(spark, sf):
     )
 
 
+def asof_storage_plan_purchases(spark, sf):
+    """J1 FOURTH physical plan — storage-bucketed, Exchange-free: the
+    as-of union is materialized once as a bucketed table (the Iceberg
+    ``bucket(N, entity)`` layout), after which the query itself is
+    Scan → local Sort → Window → Filter with ZERO shuffle
+    (tests/test_asof_storage.py pins the plan shape).  Same DuckDB
+    native-ASOF oracle as the other three plans."""
+    import tempfile
+    import uuid
+
+    from pulsarfeatureextractor_spark.operators.asof import (
+        asof_bucketed_storage,
+        prepare_bucketed_asof_table,
+    )
+
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    name = f"asof_storage_{uuid.uuid4().hex[:8]}"
+    prepare_bucketed_asof_table(
+        views, purchases, name,
+        tempfile.mkdtemp(prefix="asof_storage_") + "/t",
+        on="ts", by="user_id", value_cols=["last_purchase_value"],
+        n_buckets=8,
+    )
+    return asof_bucketed_storage(
+        spark, name, on="ts", by="user_id",
+        value_cols=["last_purchase_value"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -1254,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_lineitem": grouping_sets_lineitem,
         "segment_customers_without_orders": segment_customers_without_orders,
         "asof_tolerance_1d": asof_tolerance_1d,
+        "asof_storage_plan_purchases": asof_storage_plan_purchases,
         "bfill_purchase_value": bfill_purchase_value,
         "user_activity_features": user_activity_features,
         "profile_stats_docs": profile_stats_docs,
@@ -2095,5 +2131,6 @@ def oracle_sql() -> dict[str, str]:
     # as-of is the online twin of the batch as-of query.
     out["lyon_pandas_udf_docs"] = out["lyon_features_docs"]
     out["streaming_stateful_asof_events"] = out["asof_purchase_before_view"]
+    out["asof_storage_plan_purchases"] = out["asof_purchase_before_view"]
     out.update(_values_oracles())
     return out

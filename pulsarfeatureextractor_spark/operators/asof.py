@@ -147,10 +147,11 @@ def choose_asof_strategy(
     return "bucketed" if top["mx"] / top["tot"] >= hot_share_threshold else "window"
 
 
-def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
-                 value_cols, axis_type: str = "timestamp") -> DataFrame:
-    l_cols = left.columns
-    # Tag sides; right contributes only (by, ts, values).
+def _asof_tag_union(left, right, on, r_on, by_cols, value_cols,
+                    axis_type: str = "timestamp") -> DataFrame:
+    """The tagged union both window-family plans sort: left rows carry
+    side=1 and null value slots; right rows carry side=0, their ts
+    duplicated into the fill column, and only (by, ts, values)."""
     l_tagged = (left.withColumn(_SIDE, F.lit(1))
                 .withColumn(_RTS, F.lit(None).cast(axis_type)))
     for c in value_cols:
@@ -167,20 +168,33 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
         F.col(r_on).cast(axis_type).alias(_RTS),
         *[F.col(c) for c in value_cols],
     ).withColumn(_SIDE, F.lit(0))
-    unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
+    return l_tagged.unionByName(r_proj, allowMissingColumns=True)
 
+
+def _asof_window_apply(unioned, on, by_cols, direction, tolerance,
+                       value_cols, out_cols,
+                       prefix_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """Window pass over a tagged union (from ``_asof_tag_union`` or a
+    stored copy of it).
+
+    ``prefix_cols`` prepends partition columns that are a FUNCTION of
+    the entity key (e.g. a storage bucket id): per-partition frames are
+    then still per-entity, but a scan already hash-clustered on the
+    prefix (a bucketed table) satisfies the window's distribution via
+    Spark's subset rule — Exchange-free as-of (SURVEY.md §4)."""
+    part_cols = [*prefix_cols, *by_cols]
     if direction == "backward":
         # right rows sort BEFORE left rows at equal ts (side 0 < 1):
         # a right row at exactly t is visible to a left row at t
         # (ties include t_r = t — DuckDB semantics).
-        w = (Window.partitionBy(*by_cols)
+        w = (Window.partitionBy(*part_cols)
              .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
              .rowsBetween(Window.unboundedPreceding, 0))
     else:
         # forward: right rows sort AFTER left rows at equal ts is wrong —
         # a right row at exactly t must be visible, so order ts desc and
         # right-first again; last() over preceding = smallest t_r >= t.
-        w = (Window.partitionBy(*by_cols)
+        w = (Window.partitionBy(*part_cols)
              .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
              .rowsBetween(Window.unboundedPreceding, 0))
 
@@ -205,7 +219,94 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
         out_of_tol = F.col(_RTS).isNull() | (delta > F.lit(float(tolerance)))
         for c in value_cols:
             out = out.withColumn(c, F.when(out_of_tol, F.lit(None)).otherwise(F.col(c)))
-    return out.select(*l_cols, *value_cols)
+    return out.select(*out_cols, *value_cols)
+
+
+def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
+                 value_cols, axis_type: str = "timestamp") -> DataFrame:
+    unioned = _asof_tag_union(left, right, on, r_on, by_cols, value_cols,
+                              axis_type)
+    return _asof_window_apply(unioned, on, by_cols, direction, tolerance,
+                              value_cols, out_cols=left.columns)
+
+
+ASOF_BUCKET = "__asof_bucket"
+
+
+def asof_bucket_expr(by_cols: "Iterable[str]", n_buckets: int):
+    """Deterministic storage bucket id for an entity key: the Iceberg
+    ``bucket(N, key)`` transform realized with Spark's xxhash64."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in _normalize_cols(by_cols)]),
+                  F.lit(n_buckets)).cast("int")
+
+
+def prepare_bucketed_asof_table(
+    left: DataFrame,
+    right: DataFrame,
+    name: str,
+    path: str,
+    on: str,
+    by: "str | Iterable[str]",
+    right_on: "str | None" = None,
+    value_cols: "Iterable[str] | None" = None,
+    n_buckets: int = 32,
+) -> str:
+    """Materialize the as-of union as a BUCKETED storage table — the
+    one-time layout shuffle that makes every later as-of query
+    Exchange-free (``asof_bucketed_storage``).
+
+    This is the Spark-v1-bucketing realization of an Iceberg table
+    partitioned by ``bucket(N, entity)`` (SURVEY.md §1.4): the tagged
+    union both sides of the join contribute to is hash-clustered on a
+    bucket id derived from the entity key and registered in the session
+    catalog so the scan reports its clustering to Catalyst.  At 100 TB
+    this write IS the ingest path (data lands bucketed once; thousands
+    of point-in-time queries then join shuffle-free), exactly the
+    "pre-shuffle-free storage-partitioned input" posture a production
+    feature store runs.
+    """
+    by_cols = _normalize_cols(by)
+    r_on = right_on or on
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by_cols, r_on)]
+    unioned = _asof_tag_union(left, right, on, r_on, by_cols, list(value_cols))
+    bucketed = unioned.withColumn(ASOF_BUCKET, asof_bucket_expr(by_cols, n_buckets))
+    spark = left.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # one file per bucket: the repartition below is the single write-time
+    # shuffle this layout ever pays
+    (bucketed.repartition(n_buckets, F.col(ASOF_BUCKET))
+     .write.bucketBy(n_buckets, ASOF_BUCKET)
+     .format("parquet").option("path", path).saveAsTable(name))
+    return name
+
+
+def asof_bucketed_storage(
+    spark,
+    table: str,
+    on: str,
+    by: "str | Iterable[str]",
+    value_cols: "Iterable[str]",
+    direction: str = "backward",
+    tolerance: "float | None" = None,
+) -> DataFrame:
+    """Exchange-free as-of over a ``prepare_bucketed_asof_table`` table.
+
+    The scan of the bucketed table reports HashPartitioning(bucket);
+    the window partitions by (bucket, *entity) — a superset of the
+    scan's clustering, so Spark's subset rule satisfies the window's
+    required distribution without an Exchange.  Physical plan:
+    Scan(bucketed) → Sort(within buckets) → Window → Filter.  Zero
+    shuffle at query time; plan-shape pinned in tests/test_plans.py.
+    """
+    by_cols = _normalize_cols(by)
+    unioned = spark.table(table)
+    out_cols = [c for c in unioned.columns
+                if c not in (*value_cols, _SIDE, _RTS, ASOF_BUCKET)]
+    return _asof_window_apply(
+        unioned, on, by_cols, direction, tolerance, list(value_cols),
+        out_cols=out_cols, prefix_cols=(ASOF_BUCKET,),
+    )
 
 
 _BKT = "__asof_bkt"
