@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--plan", choices=["fused", "storage"], default="fused",
+                    help="fused: live pipeline (one exchange); storage: "
+                         "exchange-free over the pre-bucketed union table")
+    ap.add_argument("--table-dir", default="",
+                    help="storage plan: bucketed table location "
+                         "(default <input>/asof_union_tbl)")
+    ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args()
 
     from pulsarfeatureextractor_spark.functions.featureset import fused_features_arrow
@@ -42,6 +49,8 @@ def main() -> None:
     spark = get_spark(app_name="scaling-job", master=args.master,
                       shuffle_partitions=args.shuffle_partitions)
 
+    VC = ["f_mean", "f_std", "f_skew", "f_kurt"]
+
     def build():
         seqs = with_event_time(
             spark.read.parquet(os.path.join(args.input, "sequences"))
@@ -50,9 +59,64 @@ def main() -> None:
         snaps = spark.read.parquet(os.path.join(args.input, "snapshots"))
         return asof_join(
             feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
-            value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
+            value_cols=VC, strategy="window",
         ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt",
                  "f_mean", "f_std")
+
+    def build_storage():
+        """Exchange-free plan over the pre-bucketed as-of union table
+        (``--plan storage``): Scan(bucketed) → Sort → Window → Filter →
+        ONE mapInArrow.  The layout shuffle was paid once at ingest
+        (prepare_bucketed_asof_table) — the 100 TB feature-store
+        posture, where the table is written bucketed by entity and
+        thousands of point-in-time queries then run shuffle-free."""
+        from pulsarfeatureextractor_spark.operators.asof import (
+            asof_bucketed_storage,
+        )
+
+        joined = asof_bucketed_storage(
+            spark, "asof_union", on="event_time", by="doc_id", value_cols=VC,
+        )
+        feats = fused_features_arrow(joined, include_scores=True,
+                                     drop=("tokens",))
+        return feats.select("doc_id", "event_time", "mean", "stdev", "skew",
+                            "kurt", "f_mean", "f_std")
+
+    if args.plan == "storage":
+        from pulsarfeatureextractor_spark.operators.asof import (
+            ASOF_BUCKET,
+            prepare_bucketed_asof_table,
+        )
+
+        tbl_dir = args.table_dir or os.path.join(args.input, "asof_union_tbl")
+        if not os.path.isdir(tbl_dir):
+            # one-time ingest: materialize the bucketed union layout
+            seqs = with_event_time(
+                spark.read.parquet(os.path.join(args.input, "sequences"))
+            ).select("doc_id", "event_time", "tokens")
+            snaps = spark.read.parquet(os.path.join(args.input, "snapshots"))
+            t0 = time.perf_counter()
+            prepare_bucketed_asof_table(
+                seqs, snaps, "asof_union", tbl_dir, on="event_time",
+                by="doc_id", right_on="obs_time", value_cols=VC,
+                n_buckets=args.buckets,
+            )
+            sys.stderr.write(
+                f"bucketed ingest: {time.perf_counter() - t0:.1f}s\n"
+            )
+        else:
+            # files already bucketed on disk: re-register in this
+            # session's catalog (bucket ids live in the file names)
+            schema = spark.read.parquet(tbl_dir).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE asof_union ({cols}) USING PARQUET "
+                f"CLUSTERED BY (`{ASOF_BUCKET}`) INTO {args.buckets} BUCKETS "
+                f"LOCATION '{tbl_dir}'"
+            )
+        build = build_storage
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
