@@ -151,7 +151,8 @@ class Cluster:
 
 def submit(input_dir: str, zip_path: str, total_cores: int, runs: int,
            extra_confs: "list[str] | None" = None,
-           master_url: str = "") -> dict:
+           master_url: str = "",
+           job_args: "list[str] | None" = None) -> dict:
     spark_submit = os.path.join(_pyspark_home(), "bin", "spark-submit")
     cmd = [
         spark_submit, "--master", master_url,
@@ -171,7 +172,7 @@ def submit(input_dir: str, zip_path: str, total_cores: int, runs: int,
         os.path.join(REPO, "jobs", "scaling_job.py"),
         "--input", input_dir, "--runs", str(runs), "--master", master_url,
         "--shuffle-partitions", str(max(total_cores, 8)),
-    ]
+    ] + (job_args or [])
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
     if not lines:

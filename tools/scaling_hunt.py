@@ -84,24 +84,49 @@ def loadavg() -> float:
     return os.getloadavg()[0]
 
 
-def one_cycle(input_dir: str, zip_path: str, runs: int) -> dict:
+def one_cycle(input_dir: str, zip_path: str, runs: int,
+              plans: "list[list[str]] | None" = None) -> dict:
+    """One (capacity probe, 4-exec, 1-exec) measurement cycle.
+
+    ``plans`` is a list of extra scaling_job argument vectors (e.g.
+    ``[[], ["--plan", "storage", "--buckets", "128"]]``).  Each plan is
+    submitted back-to-back INSIDE the same cluster at each level, so an
+    A/B between plans is paired — both see the same noise regime."""
+    plans = plans or [[]]
+
+    def tag(ja: "list[str]") -> str:
+        return ja[ja.index("--plan") + 1] if "--plan" in ja else "fused"
+
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
     rec["capacity"] = capacity_probe(input_dir)
     with Cluster(4) as c4:
-        rec["exec4"] = submit(input_dir, zip_path, 32, runs,
-                              master_url=c4.master_url)
+        for ja in plans:
+            rec[f"exec4_{tag(ja)}"] = submit(input_dir, zip_path, 32, runs,
+                                             master_url=c4.master_url,
+                                             job_args=ja)
     rec["load_mid"] = loadavg()
     with Cluster(1) as c1:
-        rec["exec1"] = submit(input_dir, zip_path, 8, runs,
-                              master_url=c1.master_url)
+        for ja in plans:
+            rec[f"exec1_{tag(ja)}"] = submit(input_dir, zip_path, 8, runs,
+                                             master_url=c1.master_url,
+                                             job_args=ja)
     rec["load_post"] = loadavg()
-    r1 = rec["exec1"]["rows_per_sec"]
-    r4 = rec["exec4"]["rows_per_sec"]
-    rec["efficiency"] = round(r4 / (4 * r1), 3)
     rec["ceiling"] = rec["capacity"]["ceiling"]
-    rec["efficiency_vs_ceiling"] = (
-        round(rec["efficiency"] / rec["ceiling"], 3) if rec["ceiling"] else None
-    )
+    for ja in plans:
+        t = tag(ja)
+        r1 = rec[f"exec1_{t}"]["rows_per_sec"]
+        r4 = rec[f"exec4_{t}"]["rows_per_sec"]
+        rec[f"efficiency_{t}"] = round(r4 / (4 * r1), 3)
+        if rec["ceiling"]:
+            rec[f"efficiency_vs_ceiling_{t}"] = round(
+                rec[f"efficiency_{t}"] / rec["ceiling"], 3
+            )
+    # legacy aliases for the first plan (scaling_report compatibility)
+    t0 = tag(plans[0])
+    rec["exec4"] = rec[f"exec4_{t0}"]
+    rec["exec1"] = rec[f"exec1_{t0}"]
+    rec["efficiency"] = rec[f"efficiency_{t0}"]
+    rec["efficiency_vs_ceiling"] = rec.get(f"efficiency_vs_ceiling_{t0}")
     return rec
 
 
@@ -111,7 +136,22 @@ def main() -> None:
     ap.add_argument("--minutes", type=float, default=60)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default="BENCH/scaling_samples.jsonl")
+    ap.add_argument("--plans", default="",
+                    help="comma-separated plan names to A/B per cycle "
+                         "(e.g. 'fused,storage'); empty = fused only")
+    ap.add_argument("--buckets", type=int, default=128,
+                    help="bucket count for the storage plan")
     args = ap.parse_args()
+
+    plans: "list[list[str]]" = [[]]
+    if args.plans:
+        plans = []
+        for p in args.plans.split(","):
+            p = p.strip()
+            if p == "fused":
+                plans.append([])
+            else:
+                plans.append(["--plan", p, "--buckets", str(args.buckets)])
 
     staging = tempfile.mkdtemp(prefix="hunt_zip_")
     zip_path = make_engine_zip(staging)
@@ -120,7 +160,7 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     while time.time() < deadline:
         try:
-            rec = one_cycle(args.input_dir, zip_path, args.runs)
+            rec = one_cycle(args.input_dir, zip_path, args.runs, plans=plans)
         except Exception as e:  # keep hunting through transient failures
             rec = {"ts": time.strftime("%H:%M:%S"), "error": f"{type(e).__name__}: {e}"[:400]}
         with open(args.out, "a") as f:
