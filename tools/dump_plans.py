@@ -84,6 +84,35 @@ def main() -> None:
          ).select("doc_id", "event_time", "mean", "stdev", "f_mean")),
     ]
 
+    # storage-bucketed as-of: needs a materialized table first
+    import tempfile
+
+    from pulsarfeatureextractor_spark.operators.asof import (
+        asof_bucketed_storage,
+        prepare_bucketed_asof_table,
+    )
+
+    prepare_bucketed_asof_table(
+        seqs.select("doc_id", "event_time", "tokens"), snaps,
+        "plans_asof_union",
+        tempfile.mkdtemp(prefix="plans_asof_") + "/t",
+        on="event_time", by="doc_id", right_on="obs_time",
+        value_cols=["f_mean", "f_std"], n_buckets=8,
+    )
+    sections.append((
+        "As-of join — storage-bucketed plan (ZERO Exchange)",
+        "the as-of union is stored bucketed by entity (Iceberg "
+        "bucket-transform layout); the query is Scan(bucketed) -> Sort "
+        "-> Window -> Filter -> one fused PythonMapInArrow — no "
+        "Exchange anywhere (the one layout shuffle was paid at ingest):",
+        fused_features_arrow(
+            asof_bucketed_storage(spark, "plans_asof_union",
+                                  on="event_time", by="doc_id",
+                                  value_cols=["f_mean", "f_std"]),
+            include_scores=True, drop=("tokens",),
+        ).select("doc_id", "event_time", "mean", "stdev", "f_mean"),
+    ))
+
     out = ["# PLANS — `explain(\"formatted\")` for the load-bearing plans",
            "",
            "Regenerate with `python tools/dump_plans.py`. Plan-shape",

@@ -60,6 +60,44 @@ def main() -> None:
                   if d.get("efficiency_vs_ceiling") and d["efficiency_vs_ceiling"] >= 1.0)
     print(f"cycles with efficiency >= concurrent ceiling: {n_above}/{len(ratios)}")
 
+    # paired per-plan A/B (records written by --plans hunts): every plan
+    # ran inside the same cluster/noise window, so per-cycle deltas are
+    # paired observations, not cross-regime comparisons.
+    tags = sorted({k[len("efficiency_"):] for d in cycles for k in d
+                   if k.startswith("efficiency_")
+                   and not k.startswith("efficiency_vs")})
+    if len(tags) > 1:
+        print()
+        hdr = "| time | ceiling |" + "".join(
+            f" R1 {t} | R4 {t} | eff {t} |" for t in tags)
+        print(hdr)
+        print("| --- | --- |" + " --- | --- | --- |" * len(tags))
+        for d in cycles:
+            row = f"| {d['ts']} | {d['ceiling']:.3f} |"
+            for t in tags:
+                if f"efficiency_{t}" in d:
+                    row += (f" {d[f'exec1_{t}']['rows_per_sec']:,.0f} |"
+                            f" {d[f'exec4_{t}']['rows_per_sec']:,.0f} |"
+                            f" {d[f'efficiency_{t}']:.3f} |")
+                else:
+                    row += " - | - | - |"
+            print(row)
+        print()
+        for t in tags:
+            es = [d[f"efficiency_{t}"] for d in cycles if f"efficiency_{t}" in d]
+            if es:
+                print(f"plan {t}: median eff {statistics.median(es):.3f}, "
+                      f"max {max(es):.3f} over {len(es)} cycles")
+        if {"fused", "storage"} <= set(tags):
+            deltas = [d["efficiency_storage"] - d["efficiency_fused"]
+                      for d in cycles
+                      if "efficiency_storage" in d and "efficiency_fused" in d]
+            if deltas:
+                print(f"paired storage-fused efficiency delta: "
+                      f"median {statistics.median(deltas):+.3f} "
+                      f"({sum(x > 0 for x in deltas)}/{len(deltas)} cycles "
+                      f"storage ahead)")
+
 
 if __name__ == "__main__":
     main()
