@@ -297,7 +297,14 @@ def asof_bucketed_storage(
     scan's clustering, so Spark's subset rule satisfies the window's
     required distribution without an Exchange.  Physical plan:
     Scan(bucketed) → Sort(within buckets) → Window → Filter.  Zero
-    shuffle at query time; plan-shape pinned in tests/test_plans.py.
+    shuffle at query time; plan-shape pinned in
+    tests/test_asof_storage.py.
+
+    Skew note: a hot entity still sorts inside ONE storage bucket's
+    task here (same caveat as the window plan) — for hot doc_id/source
+    keys use ``strategy="bucketed"`` (entity × time-bucket) instead;
+    the layouts compose (a bucket key that includes a time bucket gives
+    both properties).
     """
     by_cols = _normalize_cols(by)
     unioned = spark.table(table)

@@ -155,7 +155,10 @@ def run_partitioned_job(
 
     spark = df.sparkSession
     # dynamic overwrite: only the partitions present in the batch are
-    # replaced — an interrupted batch's rerun is idempotent
+    # replaced — an interrupted batch's rerun is idempotent.  The conf
+    # is restored on exit (this runs inside shared sessions — e.g. the
+    # driver verify session — which must not inherit the mode).
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     batches: list[list[str]]
@@ -166,35 +169,41 @@ def run_partitioned_job(
 
     key_expr = _partition_key_expr(part_cols)
     written: list[str] = []
-    for bi, batch in enumerate(batches):
-        if fail_after_batches and bi >= fail_after_batches:
-            raise RuntimeError(f"simulated kill before batch {bi}")
-        obs = Observation(f"batch-{bi}")
-        batch_df = df.withColumn("__key", key_expr).where(
-            F.col("__key").isin(batch)
-        )
-        observed = batch_df.observe(
-            obs, F.count(F.lit(1)).alias("rows")
-        ).drop("__key")
-        (observed.write.mode("overwrite")
-         .partitionBy(*part_cols).parquet(out_dir))
-        metrics = dict(obs.get)
-        metrics["partitions"] = len(batch)
-        for key in batch:
-            sidecar = {
-                "partition": key,
-                "partition_spec": part_cols,
-                "batch_metrics": metrics,
-                **lineage,
-            }
-            part_dir = os.path.join(
-                out_dir, *[f"{c}={v}" for c, v in zip(part_cols, key.split("/"))]
+    try:
+        for bi, batch in enumerate(batches):
+            if fail_after_batches and bi >= fail_after_batches:
+                raise RuntimeError(f"simulated kill before batch {bi}")
+            obs = Observation(f"batch-{bi}")
+            batch_df = df.withColumn("__key", key_expr).where(
+                F.col("__key").isin(batch)
             )
-            if os.path.isdir(part_dir):
-                with open(os.path.join(part_dir, "_lineage.json"), "w") as f:
-                    json.dump(sidecar, f, default=str)
-            ckpt["done"][key] = sidecar
-        _save_checkpoint(checkpoint_path, ckpt)
-        written.extend(batch)
+            observed = batch_df.observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).drop("__key")
+            (observed.write.mode("overwrite")
+             .partitionBy(*part_cols).parquet(out_dir))
+            metrics = dict(obs.get)
+            metrics["partitions"] = len(batch)
+            for key in batch:
+                sidecar = {
+                    "partition": key,
+                    "partition_spec": part_cols,
+                    "batch_metrics": metrics,
+                    **lineage,
+                }
+                part_dir = os.path.join(
+                    out_dir, *[f"{c}={v}" for c, v in zip(part_cols, key.split("/"))]
+                )
+                if os.path.isdir(part_dir):
+                    with open(os.path.join(part_dir, "_lineage.json"), "w") as f:
+                        json.dump(sidecar, f, default=str)
+                ckpt["done"][key] = sidecar
+            _save_checkpoint(checkpoint_path, ckpt)
+            written.extend(batch)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     return {"written": written, "skipped": skipped}
