@@ -39,6 +39,10 @@ def main() -> None:
                     help="storage plan: bucketed table location "
                          "(default <input>/asof_union_tbl)")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--presorted", action="store_true",
+                    help="storage plan: table files are pre-sorted per "
+                         "bucket — register SORTED BY and elide the "
+                         "query-time Sort (Scan -> Window -> Filter)")
     args = ap.parse_args()
 
     from pulsarfeatureextractor_spark.functions.featureset import fused_features_arrow
@@ -76,6 +80,7 @@ def main() -> None:
 
         joined = asof_bucketed_storage(
             spark, "asof_union", on="event_time", by="doc_id", value_cols=VC,
+            elide_sort=args.presorted,
         )
         feats = fused_features_arrow(joined, include_scores=True,
                                      drop=("tokens",))
@@ -111,10 +116,14 @@ def main() -> None:
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
             )
+            sorted_by = (
+                f"SORTED BY (`{ASOF_BUCKET}`, doc_id, event_time, "
+                f"`__asof_side`) " if args.presorted else ""
+            )
             spark.sql(
                 f"CREATE TABLE asof_union ({cols}) USING PARQUET "
-                f"CLUSTERED BY (`{ASOF_BUCKET}`) INTO {args.buckets} BUCKETS "
-                f"LOCATION '{tbl_dir}'"
+                f"CLUSTERED BY (`{ASOF_BUCKET}`) {sorted_by}"
+                f"INTO {args.buckets} BUCKETS LOCATION '{tbl_dir}'"
             )
         build = build_storage
 

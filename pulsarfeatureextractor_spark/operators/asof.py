@@ -250,6 +250,7 @@ def prepare_bucketed_asof_table(
     right_on: "str | None" = None,
     value_cols: "Iterable[str] | None" = None,
     n_buckets: int = 32,
+    sort: bool = True,
 ) -> str:
     """Materialize the as-of union as a BUCKETED storage table — the
     one-time layout shuffle that makes every later as-of query
@@ -264,6 +265,13 @@ def prepare_bucketed_asof_table(
     of point-in-time queries then join shuffle-free), exactly the
     "pre-shuffle-free storage-partitioned input" posture a production
     feature store runs.
+
+    ``sort=True`` (default) additionally writes every bucket file
+    pre-sorted in the window's required order (bucket, entity, ts,
+    side): with one file per bucket (this writer guarantees it) and
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` the
+    as-of query then needs no Sort either — see
+    ``asof_bucketed_storage(elide_sort=True)``.
     """
     by_cols = _normalize_cols(by)
     r_on = right_on or on
@@ -275,9 +283,11 @@ def prepare_bucketed_asof_table(
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # one file per bucket: the repartition below is the single write-time
     # shuffle this layout ever pays
-    (bucketed.repartition(n_buckets, F.col(ASOF_BUCKET))
-     .write.bucketBy(n_buckets, ASOF_BUCKET)
-     .format("parquet").option("path", path).saveAsTable(name))
+    writer = (bucketed.repartition(n_buckets, F.col(ASOF_BUCKET))
+              .write.bucketBy(n_buckets, ASOF_BUCKET))
+    if sort:
+        writer = writer.sortBy(ASOF_BUCKET, *by_cols, on, _SIDE)
+    writer.format("parquet").option("path", path).saveAsTable(name)
     return name
 
 
@@ -289,6 +299,7 @@ def asof_bucketed_storage(
     value_cols: "Iterable[str]",
     direction: str = "backward",
     tolerance: "float | None" = None,
+    elide_sort: bool = False,
 ) -> DataFrame:
     """Exchange-free as-of over a ``prepare_bucketed_asof_table`` table.
 
@@ -305,8 +316,21 @@ def asof_bucketed_storage(
     keys use ``strategy="bucketed"`` (entity × time-bucket) instead;
     the layouts compose (a bucket key that includes a time bucket gives
     both properties).
+
+    ``elide_sort=True`` (backward direction, table written with
+    ``sort=True``): enables
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` on the
+    SESSION so the pre-sorted single-file-per-bucket scan reports its
+    ordering and the plan drops the Sort too — Scan → Window → Filter,
+    the minimum possible plan.  Safe because Spark itself re-inserts
+    the Sort whenever a bucket has more than one file (verified in
+    tests/test_asof_storage.py); note the conf is session-global.
     """
     by_cols = _normalize_cols(by)
+    if elide_sort:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
     unioned = spark.table(table)
     out_cols = [c for c in unioned.columns
                 if c not in (*value_cols, _SIDE, _RTS, ASOF_BUCKET)]

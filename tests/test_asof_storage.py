@@ -81,6 +81,62 @@ def test_storage_equals_window_plan_with_tolerance(spark, sides, stored):
     pd.testing.assert_frame_equal(_canon(ref), _canon(got))
 
 
+def test_sorted_table_elides_sort_and_matches(spark, sides, stored):
+    """sort=True layout + elide_sort=True → Scan → Window → Filter:
+    no Exchange AND no Sort, still bit-equal to the window plan."""
+    left, right = sides
+    try:
+        got = asof_bucketed_storage(spark, stored, on="ts", by="doc_id",
+                                    value_cols=["v"], elide_sort=True)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert plan.count("Sort ") == 0, plan
+        ref = asof_join(left, right, on="ts", by="doc_id",
+                        value_cols=["v"], strategy="window")
+        pd.testing.assert_frame_equal(_canon(ref), _canon(got))
+    finally:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+
+def test_multi_file_bucket_reinserts_sort(spark, sides, stored, tmp_path):
+    """Safety of sort elision: when a bucket holds MORE than one file,
+    Spark itself refuses the ordering claim and re-inserts the Sort —
+    no silent wrong results from appended files."""
+    import glob
+    import os
+    import shutil
+
+    from pulsarfeatureextractor_spark.operators.asof import ASOF_BUCKET
+
+    src_dir = (spark.sql(f"DESCRIBE TABLE EXTENDED {stored}")
+               .where("col_name = 'Location'").first()["data_type"]
+               .replace("file:", ""))
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(src_dir, dup_dir)
+    a_file = sorted(glob.glob(os.path.join(dup_dir, "part-*_00003*")))[0]
+    shutil.copy(a_file, a_file.replace("part-00003", "part-00900"))
+    schema = spark.read.parquet(dup_dir).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql("DROP TABLE IF EXISTS asof_storage_dup_tbl")
+    spark.sql(
+        f"CREATE TABLE asof_storage_dup_tbl ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{ASOF_BUCKET}`) "
+        f"SORTED BY (`{ASOF_BUCKET}`, doc_id, ts, `__asof_side`) "
+        f"INTO 8 BUCKETS LOCATION '{dup_dir}'"
+    )
+    try:
+        got = asof_bucketed_storage(spark, "asof_storage_dup_tbl", on="ts",
+                                    by="doc_id", value_cols=["v"],
+                                    elide_sort=True)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Sort ") >= 1, plan  # Spark fell back safely
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS asof_storage_dup_tbl")
+
+
 def test_storage_forward_direction(spark, sides, stored):
     left, right = sides
     ref = asof_join(left, right, on="ts", by="doc_id",

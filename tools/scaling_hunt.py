@@ -95,7 +95,8 @@ def one_cycle(input_dir: str, zip_path: str, runs: int,
     plans = plans or [[]]
 
     def tag(ja: "list[str]") -> str:
-        return ja[ja.index("--plan") + 1] if "--plan" in ja else "fused"
+        t = ja[ja.index("--plan") + 1] if "--plan" in ja else "fused"
+        return t + "_sorted" if "--presorted" in ja else t
 
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
     rec["capacity"] = capacity_probe(input_dir)
@@ -150,6 +151,9 @@ def main() -> None:
             p = p.strip()
             if p == "fused":
                 plans.append([])
+            elif p == "storage-sorted":
+                plans.append(["--plan", "storage",
+                              "--buckets", str(args.buckets), "--presorted"])
             else:
                 plans.append(["--plan", p, "--buckets", str(args.buckets)])
 

@@ -88,15 +88,18 @@ def main() -> None:
             if es:
                 print(f"plan {t}: median eff {statistics.median(es):.3f}, "
                       f"max {max(es):.3f} over {len(es)} cycles")
-        if {"fused", "storage"} <= set(tags):
-            deltas = [d["efficiency_storage"] - d["efficiency_fused"]
-                      for d in cycles
-                      if "efficiency_storage" in d and "efficiency_fused" in d]
-            if deltas:
-                print(f"paired storage-fused efficiency delta: "
-                      f"median {statistics.median(deltas):+.3f} "
-                      f"({sum(x > 0 for x in deltas)}/{len(deltas)} cycles "
-                      f"storage ahead)")
+        if "fused" in tags:
+            for t in tags:
+                if t == "fused":
+                    continue
+                deltas = [d[f"efficiency_{t}"] - d["efficiency_fused"]
+                          for d in cycles
+                          if f"efficiency_{t}" in d and "efficiency_fused" in d]
+                if deltas:
+                    print(f"paired {t}-fused efficiency delta: "
+                          f"median {statistics.median(deltas):+.3f} "
+                          f"({sum(x > 0 for x in deltas)}/{len(deltas)} "
+                          f"cycles {t} ahead)")
 
 
 if __name__ == "__main__":
