@@ -78,9 +78,12 @@ def main() -> None:
             asof_bucketed_storage,
         )
 
+        # kwargs-style so deployments shipping an older engine.zip
+        # (no elide_sort param) keep working when --presorted is absent
+        kw = {"elide_sort": True} if args.presorted else {}
         joined = asof_bucketed_storage(
             spark, "asof_union", on="event_time", by="doc_id", value_cols=VC,
-            elide_sort=args.presorted,
+            **kw,
         )
         feats = fused_features_arrow(joined, include_scores=True,
                                      drop=("tokens",))
