@@ -92,7 +92,6 @@ def main() -> None:
 
     if args.plan == "storage":
         from pulsarfeatureextractor_spark.operators.asof import (
-            ASOF_BUCKET,
             prepare_bucketed_asof_table,
         )
 
@@ -120,12 +119,12 @@ def main() -> None:
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
             )
             sorted_by = (
-                f"SORTED BY (`{ASOF_BUCKET}`, doc_id, event_time, "
-                f"`__asof_side`) " if args.presorted else ""
+                "SORTED BY (doc_id, event_time, `__asof_side`) "
+                if args.presorted else ""
             )
             spark.sql(
                 f"CREATE TABLE asof_union ({cols}) USING PARQUET "
-                f"CLUSTERED BY (`{ASOF_BUCKET}`) {sorted_by}"
+                f"CLUSTERED BY (doc_id) {sorted_by}"
                 f"INTO {args.buckets} BUCKETS LOCATION '{tbl_dir}'"
             )
         build = build_storage

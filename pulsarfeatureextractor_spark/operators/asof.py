@@ -230,16 +230,6 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
                               value_cols, out_cols=left.columns)
 
 
-ASOF_BUCKET = "__asof_bucket"
-
-
-def asof_bucket_expr(by_cols: "Iterable[str]", n_buckets: int):
-    """Deterministic storage bucket id for an entity key: the Iceberg
-    ``bucket(N, key)`` transform realized with Spark's xxhash64."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in _normalize_cols(by_cols)]),
-                  F.lit(n_buckets)).cast("int")
-
-
 def prepare_bucketed_asof_table(
     left: DataFrame,
     right: DataFrame,
@@ -266,9 +256,18 @@ def prepare_bucketed_asof_table(
     "pre-shuffle-free storage-partitioned input" posture a production
     feature store runs.
 
+    The table is bucketed DIRECTLY on the entity key columns — Spark's
+    bucket hash (murmur3 of the key, mod N) then spreads millions of
+    entities evenly over N buckets, and the scan's
+    HashPartitioning(entity) satisfies the as-of window's clustering
+    natively.  (A synthetic precomputed bucket-id column would be
+    re-hashed by the bucketed writer, birthday-colliding N ids into
+    ~0.63·N skewed files — measured, and why this buckets on the key.)
+
     ``sort=True`` (default) additionally writes every bucket file
-    pre-sorted in the window's required order (bucket, entity, ts,
-    side): with one file per bucket (this writer guarantees it) and
+    pre-sorted in the window's required order (entity, ts, side): with
+    one file per bucket (this writer guarantees it via the aligned
+    repartition) and
     ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` the
     as-of query then needs no Sort either — see
     ``asof_bucketed_storage(elide_sort=True)``.
@@ -278,15 +277,15 @@ def prepare_bucketed_asof_table(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by_cols, r_on)]
     unioned = _asof_tag_union(left, right, on, r_on, by_cols, list(value_cols))
-    bucketed = unioned.withColumn(ASOF_BUCKET, asof_bucket_expr(by_cols, n_buckets))
     spark = left.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # one file per bucket: the repartition below is the single write-time
-    # shuffle this layout ever pays
-    writer = (bucketed.repartition(n_buckets, F.col(ASOF_BUCKET))
-              .write.bucketBy(n_buckets, ASOF_BUCKET))
+    # one file per bucket: repartition on the SAME key/count as bucketBy
+    # (identical murmur3 hash → task i holds exactly bucket i) — the
+    # single write-time shuffle this layout ever pays
+    writer = (unioned.repartition(n_buckets, *[F.col(c) for c in by_cols])
+              .write.bucketBy(n_buckets, *by_cols))
     if sort:
-        writer = writer.sortBy(ASOF_BUCKET, *by_cols, on, _SIDE)
+        writer = writer.sortBy(*by_cols, on, _SIDE)
     writer.format("parquet").option("path", path).saveAsTable(name)
     return name
 
@@ -303,10 +302,9 @@ def asof_bucketed_storage(
 ) -> DataFrame:
     """Exchange-free as-of over a ``prepare_bucketed_asof_table`` table.
 
-    The scan of the bucketed table reports HashPartitioning(bucket);
-    the window partitions by (bucket, *entity) — a superset of the
-    scan's clustering, so Spark's subset rule satisfies the window's
-    required distribution without an Exchange.  Physical plan:
+    The scan of the bucketed table reports HashPartitioning(entity),
+    which satisfies the as-of window's ClusteredDistribution(entity)
+    directly — no Exchange.  Physical plan:
     Scan(bucketed) → Sort(within buckets) → Window → Filter.  Zero
     shuffle at query time; plan-shape pinned in
     tests/test_asof_storage.py.
@@ -333,10 +331,10 @@ def asof_bucketed_storage(
         )
     unioned = spark.table(table)
     out_cols = [c for c in unioned.columns
-                if c not in (*value_cols, _SIDE, _RTS, ASOF_BUCKET)]
+                if c not in (*value_cols, _SIDE, _RTS)]
     return _asof_window_apply(
         unioned, on, by_cols, direction, tolerance, list(value_cols),
-        out_cols=out_cols, prefix_cols=(ASOF_BUCKET,),
+        out_cols=out_cols,
     )
 
 

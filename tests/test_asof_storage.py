@@ -106,8 +106,6 @@ def test_multi_file_bucket_reinserts_sort(spark, sides, stored, tmp_path):
     import os
     import shutil
 
-    from pulsarfeatureextractor_spark.operators.asof import ASOF_BUCKET
-
     src_dir = (spark.sql(f"DESCRIBE TABLE EXTENDED {stored}")
                .where("col_name = 'Location'").first()["data_type"]
                .replace("file:", ""))
@@ -121,8 +119,8 @@ def test_multi_file_bucket_reinserts_sort(spark, sides, stored, tmp_path):
     spark.sql("DROP TABLE IF EXISTS asof_storage_dup_tbl")
     spark.sql(
         f"CREATE TABLE asof_storage_dup_tbl ({cols}) USING PARQUET "
-        f"CLUSTERED BY (`{ASOF_BUCKET}`) "
-        f"SORTED BY (`{ASOF_BUCKET}`, doc_id, ts, `__asof_side`) "
+        f"CLUSTERED BY (doc_id) "
+        f"SORTED BY (doc_id, ts, `__asof_side`) "
         f"INTO 8 BUCKETS LOCATION '{dup_dir}'"
     )
     try:
