@@ -10,9 +10,10 @@
   cosine re-rank on candidates only.  Shuffle is on bucket keys, and
   recall is tunable via (n_bits, n_tables).
 
-Projections are seed-deterministic and shipped as literal arrays
-(driver-computed numpy, broadcast with the plan) — no Python at
-execution time for hashing: the projection dot products run in a
+Projections are seed-deterministic: a pure function of
+(seed, n_bits, n_tables, dim), derived identically on every executor
+(from the first Arrow batch's vector length when ``dim`` isn't given —
+no driver-side probe job).  The projection dot products run in a
 single Arrow-vectorized pandas UDF (one matmul per batch).
 """
 
@@ -75,15 +76,28 @@ def cosine_topk(
     )
 
 
-def _bucket_udf(dim: int, n_bits: int, n_tables: int, seed: int = 777):
-    """Arrow-vectorized: embedding -> array of n_tables bucket keys."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_bits, dim))
+def _bucket_udf(dim: "int | None", n_bits: int, n_tables: int, seed: int = 777):
+    """Arrow-vectorized: embedding -> array of n_tables bucket keys.
+
+    The hyperplanes are a pure function of (seed, n_bits, n_tables, dim),
+    so when ``dim`` is None each executor derives the identical matrices
+    from its first Arrow batch's vector length — no driver-side one-row
+    probe job, no broadcast payload.
+    """
     weights = (1 << np.arange(n_bits, dtype=np.int64))
+    cache: dict = {}
+    if dim is not None:
+        cache["planes"] = np.random.default_rng(seed).standard_normal(
+            (n_tables, n_bits, dim))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])  # (b, dim)
+        planes = cache.get("planes")
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal(
+                (n_tables, n_bits, mat.shape[1]))
+            cache["planes"] = planes
         out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
         for t in range(n_tables):
             proj = mat @ planes[t].T                 # (b, n_bits)
@@ -208,10 +222,6 @@ def embedding_neardup_pairs(
     if exact:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        if dim is None:
-            # schema can't carry array length — pass dim to avoid this
-            # extra one-row Spark job
-            dim = len(df.select(vec_col).first()[0])
         bucketize = _bucket_udf(dim, n_bits, n_tables, seed=555)
         ab = a.withColumn("__bucket", F.explode(bucketize(F.col("__va"))))
         bb = b.withColumn("__bucket", F.explode(bucketize(F.col("__vb"))))
@@ -247,10 +257,6 @@ def rp_lsh_topk(
     recall misses (tunable).  Shuffles: corpus and queries each hashed
     once on the bucket key — no |corpus| x |queries| blowup.
     """
-    if dim is None:
-        # schema can't carry array length — pass dim to avoid this
-        # extra one-row Spark job
-        dim = len(corpus.select(vec_col).first()[0])
     bucketize = _bucket_udf(dim, n_bits, n_tables)
 
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(

@@ -487,3 +487,31 @@ def test_moments_list_array_any_layout(rows, seed):
         np.asarray(compact_offs, dtype=np.int64),
     )
     assert np.array_equal(got, want)
+
+
+# ------------------------------------------------- RP-LSH lazy dim
+
+def test_rp_lsh_lazy_dim_matches_explicit(spark, sf_correct):
+    """dim=None derives the hyperplanes executor-side from the first
+    Arrow batch; planes are a pure function of (seed, n_bits, n_tables,
+    dim) so the output must be IDENTICAL to the explicit-dim path (and
+    no driver-side one-row probe job is needed)."""
+    from pyspark.sql import functions as F
+
+    from pulsarfeatureextractor_spark.operators.similarity import rp_lsh_topk
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ("query_id", "vec_id", "rank")
+    explicit = sorted(
+        map(tuple, rp_lsh_topk(emb, queries, k=5, dim=64,
+                               n_bits=10, n_tables=6).select(*cols).collect())
+    )
+    lazy = sorted(
+        map(tuple, rp_lsh_topk(emb, queries, k=5, dim=None,
+                               n_bits=10, n_tables=6).select(*cols).collect())
+    )
+    assert explicit == lazy and len(lazy) > 0
