@@ -50,6 +50,11 @@ def main() -> None:
     ap.add_argument("--min-ceiling", type=float, default=0.5,
                     help="fire cycles only if the probe ceiling clears this")
     ap.add_argument("--poll-sec", type=float, default=240)
+    ap.add_argument("--skip-strong", action="store_true",
+                    help="fire only the weak (Gustafson) cycle per quiet "
+                         "window — halves the window a cycle must stay "
+                         "quiet for, doubling usable samples of the "
+                         "gate-relevant fixed-work-per-executor metric")
     ap.add_argument("--out", default="BENCH/quiet_trigger_r02.jsonl")
     args = ap.parse_args()
 
@@ -75,24 +80,26 @@ def main() -> None:
             time.sleep(args.poll_sec)
             continue
         # quiet window confirmed — measure now, strong then weak
-        try:
-            rec = one_cycle(args.input_dir, zip_path, args.runs,
-                            plans=[[], STORAGE_ARGS])
-            rec["trigger_probe"] = probe
-            rec["kind"] = "strong"
-        except Exception as exc:
-            rec = {"ts": time.strftime("%H:%M:%S"), "kind": "strong",
-                   "error": str(exc)[:500]}
-        with open(args.out, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(json.dumps({k: rec.get(k) for k in
-                          ("ts", "efficiency_fused",
-                           "efficiency_storage_sorted", "ceiling",
-                           "error")}))
+        if not args.skip_strong:
+            try:
+                rec = one_cycle(args.input_dir, zip_path, args.runs,
+                                plans=[[], STORAGE_ARGS])
+                rec["trigger_probe"] = probe
+                rec["kind"] = "strong"
+            except Exception as exc:
+                rec = {"ts": time.strftime("%H:%M:%S"), "kind": "strong",
+                       "error": str(exc)[:500]}
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps({k: rec.get(k) for k in
+                              ("ts", "efficiency_fused",
+                               "efficiency_storage_sorted", "ceiling",
+                               "error")}))
         if args.small_dir:
             try:
                 wrec = weak_cycle(args.small_dir, args.input_dir,
                                   zip_path, args.runs)
+                wrec["trigger_probe"] = probe
                 wrec["kind"] = "weak"
             except Exception as exc:
                 wrec = {"ts": time.strftime("%H:%M:%S"), "kind": "weak",
