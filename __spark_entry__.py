@@ -881,6 +881,32 @@ def thornton_scores_docs(spark, sf):
     )
 
 
+def subband_scores_docs(spark, sf):
+    """A8 2-D family: Thornton/Bates-style sub-band scores (band-vs-
+    profile correlation, peak-phase jitter, per-band intensity/snr
+    evenness) over a deterministic synthetic (8 x n_tok) cube derived
+    JVM-side from the token curve (with_synthetic_subbands — the input
+    hint carries no real sub-band data).  Kernel is one mapInArrow pass
+    over the flat band-major cube (functions/scores.py); the oracle is
+    a committed VALUES literal generated from an independent per-row
+    transcription (tools/gen_value_oracles.gen_subband)."""
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SUBBAND_FIELDS,
+        with_subband_scores,
+    )
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        with_synthetic_subbands,
+    )
+
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    sb = with_synthetic_subbands(seqs, n_chan=8)
+    out = with_subband_scores(sb, "sb_flat", n_chan=8)
+    return out.select(
+        "doc_id", *[F.round(c, 6).alias(c) for c in SUBBAND_FIELDS]
+    )
+
+
 def minhash_lsh_pairs_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return minhash_lsh_pairs(
@@ -1232,7 +1258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pointintime_features": pipeline_pointintime_features,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
-        "region_customer_stats": region_customer_stats,
         "segment_customers_with_orders": segment_customers_with_orders,
         "rollup_lineitem_status": rollup_lineitem_status,
         "event_type_distinct_users": event_type_distinct_users,
@@ -1271,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lyon8_two_curve_docs": lyon8_two_curve_docs,
         "label_attach_docs": label_attach_docs,
         "thornton_scores_docs": thornton_scores_docs,
+        "subband_scores_docs": subband_scores_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_norms_by_label": embedding_norms_by_label,
@@ -1284,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
         "custkeys_1995_and_1996": custkeys_1995_and_1996,
+        "region_customer_stats": region_customer_stats,
         "brand_revenue": brand_revenue,
         "supplier_nation_stats": supplier_nation_stats,
         "grouping_sets_lineitem": grouping_sets_lineitem,

@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_exact_docs",            # exact dedup
     "minhash_signatures_docs",     # MinHash sketch
     "simhash_signatures_docs",     # single-pass Arrow simhash (vs 64-fold SQL)
+    "subband_scores_docs",         # 2-D sub-band score family (A8)
     "ann_cosine_topk",             # brute-force ANN
     "pipeline_pointintime_features",  # flagship end-to-end
 ]

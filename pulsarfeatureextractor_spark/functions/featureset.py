@@ -22,6 +22,11 @@ patterns).  Sets:
   JVM-only, documented substitutions for absent DM/period inputs.
 - ``raw``       : the token array cast to double, unmodified — the
   raw-bins passthrough set (classifier-side normalization).
+- ``subband``   : Thornton/Bates-style 2-D sub-band scores (A8 2-D
+  family) over the deterministic synthetic cube derived from the token
+  curve (real sub-band data is absent from the hinted input shape; a
+  real cube loads into the same flat band-major column and scores via
+  ``scores.with_subband_scores`` directly).
 - ``all``       : lyon + thornton + widths + stats.
 
 Each set appends flat, prunable double columns; ``tokens`` is never
@@ -34,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SETS = (
-    "lyon", "thornton", "stats", "widths", "peace", "spinn", "raw", "all"
+    "lyon", "thornton", "stats", "widths", "peace", "spinn", "subband",
+    "raw", "all",
 )
 
 
@@ -66,6 +72,17 @@ def extract_features(
         from pulsarfeatureextractor_spark.functions.scores import with_spinn_features
 
         return with_spinn_features(df, tokens_col)
+    if feature_set == "subband":
+        from pulsarfeatureextractor_spark.functions.scores import (
+            with_subband_scores,
+        )
+        from pulsarfeatureextractor_spark.sources.tokenized import (
+            with_synthetic_subbands,
+        )
+
+        return with_subband_scores(
+            with_synthetic_subbands(df, tokens_col), "sb_flat"
+        )
     if feature_set == "raw":
         return df.withColumn(
             "raw_bins",

@@ -213,6 +213,146 @@ def with_thornton_scores(
     return df.mapInArrow(compute, out_schema)
 
 
+SUBBAND_FIELDS = [
+    "sb_corr_mean",      # mean Pearson r(sub-band, integrated profile)
+    "sb_corr_frac",      # fraction of sub-bands with r >= 0.5 (persistence)
+    "sb_peak_jitter",    # RMS circular distance of band peaks from the
+                         # integrated peak, as a phase fraction
+    "sb_intensity_cv",   # std/mean of per-band total intensity
+    "sb_snr_mean",       # mean per-band (max - mean) / sigma_pop
+    "sb_peak_col_cv",    # std/mean of the peak-phase column across bands
+]
+
+
+def subband_scores_cube(cube: np.ndarray) -> np.ndarray:
+    """Row-wise sub-band scores for a dense (rows, n_chan, n_bins) cube.
+
+    The 2-D score family of the reference's published lineage (Thornton
+    2013 thesis; Bates et al. 2012, MNRAS 427:1052): a real pulsar's
+    pulse PERSISTS through frequency sub-bands at a stable phase, while
+    interference lives in few bands or drifts — so the scores rate each
+    band's correlation with the integrated profile, the stability of
+    the per-band peak phase, and the evenness of per-band intensity.
+    The same kernel applies unchanged to time sub-integrations
+    (time x phase): both cubes are (channels, bins).
+
+    Every reduction is within-row (axis math over the cube), so results
+    are bit-identical regardless of how rows are batched — the property
+    that lets a locally generated VALUES oracle pin the distributed run
+    exactly (tools/gen_value_oracles.py).
+    """
+    cube = np.asarray(cube, dtype=np.float64)
+    rows, n_chan, n_bins = cube.shape
+    out = np.zeros((rows, len(SUBBAND_FIELDS)), dtype=np.float64)
+    if n_bins < 4 or n_chan < 2:
+        return out
+
+    prof = cube.sum(axis=1)                                  # (rows, B)
+    pc = prof - prof.mean(axis=1, keepdims=True)
+    bc = cube - cube.mean(axis=2, keepdims=True)
+    cov = (bc * pc[:, None, :]).mean(axis=2)                 # (rows, C)
+    bsd = cube.std(axis=2)                                   # population
+    psd = prof.std(axis=1)
+    denom = bsd * psd[:, None]
+    with np.errstate(invalid="ignore"):
+        r = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), 0.0)
+
+    amax_p = prof.argmax(axis=1)                             # (rows,)
+    amax_b = cube.argmax(axis=2)                             # (rows, C)
+    d = np.abs(amax_b - amax_p[:, None])
+    d = np.minimum(d, n_bins - d).astype(np.float64)         # circular
+
+    ssum = cube.sum(axis=2)                                  # (rows, C)
+    smu = ssum.mean(axis=1)
+    ssd = ssum.std(axis=1)
+
+    bmu = cube.mean(axis=2)
+    with np.errstate(invalid="ignore"):
+        snr = np.where(bsd > 0, (cube.max(axis=2) - bmu) / bsd, 0.0)
+
+    col = np.take_along_axis(
+        cube, amax_p[:, None, None].repeat(n_chan, axis=1), axis=2
+    )[:, :, 0]                                               # (rows, C)
+    cmu = col.mean(axis=1)
+    csd = col.std(axis=1)
+
+    out[:, 0] = r.mean(axis=1)
+    out[:, 1] = (r >= 0.5).mean(axis=1)
+    out[:, 2] = np.sqrt(((d / n_bins) ** 2).mean(axis=1))
+    out[:, 3] = np.where(smu > 0, ssd / smu, 0.0)
+    out[:, 4] = snr.mean(axis=1)
+    out[:, 5] = np.where(cmu > 0, csd / cmu, 0.0)
+    return out
+
+
+def subband_scores_list_array(arr, n_chan: int) -> np.ndarray:
+    """(n, len(SUBBAND_FIELDS)) scores for a pyarrow list array of FLAT
+    band-major cubes (band 0's bins, then band 1's, ...).
+
+    Same zero-object shape as ``scores_list_array``: rows grouped by
+    flat length, each group one dense (rows, n_chan, n_bins) cube.
+    Rows whose length is not a positive multiple of ``n_chan`` (or with
+    n_bins < 4) yield all-zero scores.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    if arr.null_count == 0:
+        values = np.asarray(arr.flatten(), dtype=np.float64)
+        starts_all = offsets[:-1] - offsets[0]
+        counts = np.diff(offsets)
+    else:
+        values = np.asarray(arr.values, dtype=np.float64)
+        starts_all = offsets[:-1]
+        counts = np.where(np.asarray(arr.is_valid()), np.diff(offsets), 0)
+    n_rows = len(counts)
+    out = np.zeros((n_rows, len(SUBBAND_FIELDS)), dtype=np.float64)
+    for length in np.unique(counts):
+        if length <= 0 or length % n_chan != 0 or length // n_chan < 4:
+            continue
+        idxs = np.nonzero(counts == length)[0]
+        starts = starts_all[idxs]
+        gather = starts[:, None] + np.arange(length)[None, :]
+        cube = values[gather].reshape(len(idxs), n_chan, length // n_chan)
+        out[idxs, :] = subband_scores_cube(cube)
+    return out
+
+
+def with_subband_scores(
+    df: DataFrame, flat_col: str = "sb_flat", n_chan: int = 8,
+) -> DataFrame:
+    """Append the sub-band score columns (mapInArrow, zero-object).
+
+    ``flat_col`` holds each candidate's (n_chan x n_bins) cube flattened
+    band-major into one array — the Arrow-friendly encoding of the
+    reference's 2-D sub-band/sub-int matrices (nested list offsets cost
+    a second indirection for nothing when every row of a cube has equal
+    width).  Pure map over batches: no shuffle, no state, same scale
+    shape as the 1-D score family.
+    """
+    import pyarrow as pa
+
+    out_fields = list(df.schema.fields) + [
+        T.StructField(name, T.DoubleType(), True) for name in SUBBAND_FIELDS
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def compute(batches):
+        for batch in batches:
+            scores = subband_scores_list_array(batch.column(flat_col), n_chan)
+            arrays = batch.columns + [
+                pa.array(scores[:, i], type=pa.float64())
+                for i in range(len(SUBBAND_FIELDS))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=batch.schema.names + SUBBAND_FIELDS
+            )
+
+    return df.mapInArrow(compute, out_schema)
+
+
 def with_width_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Eatough-style pulse-width / peak-shape features, all JVM.
 

@@ -270,6 +270,36 @@ def vocab_tokenize(
     )
 
 
+def with_synthetic_subbands(
+    df: DataFrame, tokens_col: str = "tokens", n_chan: int = 8,
+    out_col: str = "sb_flat",
+) -> DataFrame:
+    """Derive a deterministic per-candidate sub-band cube from the 1-D
+    token curve — the test-scale stand-in for real (frequency x phase)
+    sub-band data, which the hinted input shape does not carry.
+
+    Band b's bin i = (tokens[i] + (b+1) * (i mod 17)) mod 256 — each
+    band is the profile plus a band-dependent, phase-dependent
+    perturbation, so bands stay correlated with the integrated profile
+    (as a real broadband pulse is) while per-band peaks jitter.  The
+    cube is emitted FLAT band-major (``out_col``: n_chan * n_tok ints),
+    the layout ``functions.scores.with_subband_scores`` consumes.
+
+    All JVM expressions (transform with index + concat) — exactly
+    reproducible in integer arithmetic by the VALUES-oracle generator.
+    Real sub-band cubes would simply load into the same flat column.
+    """
+    def _band(b: int):
+        # factory closure: a plain two-arg lambda (value, index) — a
+        # default arg would change the arity PySpark infers
+        return lambda x, i: (
+            (x.cast("long") + F.lit(b + 1) * (i % F.lit(17))) % F.lit(256)
+        ).cast("int")
+
+    bands = [F.transform(F.col(tokens_col), _band(b)) for b in range(n_chan)]
+    return df.withColumn(out_col, F.concat(*bands))
+
+
 def documents_to_sequences(documents: DataFrame) -> DataFrame:
     """Recast the driver documents table into the hinted 4-column shape.
 

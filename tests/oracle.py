@@ -146,3 +146,42 @@ def thornton_oracle_row(x: np.ndarray) -> dict:
         "peak_offset": (amax - n / 2.0) / n,
         "quad_chi2": quad_chi2,
     }
+
+
+def subband_oracle_row(mat: np.ndarray) -> dict:
+    """Naive per-row transcription of the sub-band score definitions
+    (functions/scores.SUBBAND_FIELDS) — loops over bands, independent
+    of the engine's cube vectorization.  Used by tests/test_scores.py
+    and tools/gen_value_oracles.py as the independence check."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n_chan, n_bins = mat.shape
+    zero = {k: 0.0 for k in (
+        "sb_corr_mean", "sb_corr_frac", "sb_peak_jitter",
+        "sb_intensity_cv", "sb_snr_mean", "sb_peak_col_cv")}
+    if n_bins < 4 or n_chan < 2:
+        return zero
+    prof = mat.sum(axis=0)
+    pc = prof - prof.mean()
+    psd = prof.std()
+    rs, jit2, snrs = [], [], []
+    amax_p = int(prof.argmax())
+    for b in range(n_chan):
+        band = mat[b]
+        bc = band - band.mean()
+        bsd = band.std()
+        denom = bsd * psd
+        rs.append(float((bc * pc).mean() / denom) if denom > 0 else 0.0)
+        d = abs(int(band.argmax()) - amax_p)
+        d = min(d, n_bins - d)
+        jit2.append((d / n_bins) ** 2)
+        snrs.append(float((band.max() - band.mean()) / bsd) if bsd > 0 else 0.0)
+    ssum = mat.sum(axis=1)
+    col = mat[:, amax_p]
+    return {
+        "sb_corr_mean": float(np.mean(rs)),
+        "sb_corr_frac": float(np.mean([1.0 if r >= 0.5 else 0.0 for r in rs])),
+        "sb_peak_jitter": float(np.sqrt(np.mean(jit2))),
+        "sb_intensity_cv": float(ssum.std() / ssum.mean()) if ssum.mean() > 0 else 0.0,
+        "sb_snr_mean": float(np.mean(snrs)),
+        "sb_peak_col_cv": float(col.std() / col.mean()) if col.mean() > 0 else 0.0,
+    }

@@ -26,6 +26,10 @@ def test_each_set_appends_expected_columns(spark, seqs):
     assert set(extract_features(seqs, "raw").columns) == base | {"raw_bins"}
     assert set(extract_features(seqs, "widths").columns) == base | {
         "n_above_half", "n_above_q3", "peak_to_mean", "crest"}
+    from pulsarfeatureextractor_spark.functions.scores import SUBBAND_FIELDS
+
+    assert set(extract_features(seqs, "subband").columns) == base | (
+        {"sb_flat"} | set(SUBBAND_FIELDS))
     allcols = set(extract_features(seqs, "all").columns)
     assert set(LYON_FIELDS) | {"sn_ratio_t", "peak_offset_t", "sn_ratio", "peak_offset"} <= allcols
 

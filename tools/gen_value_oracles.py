@@ -226,10 +226,54 @@ def gen_fingerprint(ids, texts) -> str:
     return _values_sql(rows, [("doc_id", "BIGINT"), ("fingerprint", "BIGINT")])
 
 
+def gen_subband(ids, texts, n_chan=8) -> str:
+    """Sub-band scores over the deterministic synthetic cube
+    (sources/tokenized.with_synthetic_subbands): band b bin i =
+    (tokens[i] + (b+1)*(i%17)) % 256, tokens = len(word)%256.  Cube
+    rebuilt here in pure integer Python, scored by the engine kernel
+    AFTER an allclose check against the naive per-row transcription
+    tests/oracle.subband_oracle_row (same independence discipline as
+    gen_thornton)."""
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SUBBAND_FIELDS,
+        subband_scores_list_array,
+    )
+    from tests.oracle import subband_oracle_row
+
+    flats = []
+    for s in texts:
+        toks = [len(w) % 256 for w in s.split(" ")]
+        flat = []
+        for b in range(n_chan):
+            flat.extend((t + (b + 1) * (i % 17)) % 256
+                        for i, t in enumerate(toks))
+        flats.append(flat)
+    got = subband_scores_list_array(
+        pa.array(flats, type=pa.list_(pa.int32())), n_chan)
+    for i, flat in enumerate(flats):
+        mat = np.asarray(flat, dtype=np.float64).reshape(n_chan, -1)
+        want = subband_oracle_row(mat)
+        for j, name in enumerate(SUBBAND_FIELDS):
+            assert np.isclose(got[i, j], want[name], rtol=1e-9, atol=1e-12), (
+                ids[i], name, got[i, j], want[name])
+    v = got.flatten() * 1e6
+    margin = np.abs((v - np.floor(v)) - 0.5).min()
+    assert margin > 1e-6, f"value too close to a round-6 boundary: {margin}"
+
+    rows = []
+    for i, did in enumerate(ids):
+        lits = [_sql_str(str(did))] + [repr(spark_round6(got[i, j]))
+                                       for j in range(len(SUBBAND_FIELDS))]
+        rows.append(tuple(lits))
+    cols = [("doc_id", "VARCHAR")] + [(n, "DOUBLE") for n in SUBBAND_FIELDS]
+    return _values_sql(rows, cols)
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
         "thornton_scores_docs": gen_thornton(ids, texts),
+        "subband_scores_docs": gen_subband(ids, texts),
         "minhash_lsh_pairs_docs": gen_minhash_pairs(ids, texts),
         "simhash_pairs_docs": gen_simhash_pairs(ids, texts),
         "vocab_tokenize_docs": gen_vocab_hash(ids, texts),
