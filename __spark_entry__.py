@@ -900,8 +900,10 @@ def subband_scores_docs(spark, sf):
 
     d = load_table(spark, sf, "documents")
     seqs = documents_to_sequences(d)
-    sb = with_synthetic_subbands(seqs, n_chan=8)
-    out = with_subband_scores(sb, "sb_flat", n_chan=8)
+    # prune BEFORE the opaque Arrow boundary (tokens/source would ride
+    # the crossing otherwise) and drop the wide cube on the way back
+    sb = with_synthetic_subbands(seqs, n_chan=8).select("doc_id", "sb_flat")
+    out = with_subband_scores(sb, "sb_flat", n_chan=8, drop=("sb_flat",))
     return out.select(
         "doc_id", *[F.round(c, 6).alias(c) for c in SUBBAND_FIELDS]
     )

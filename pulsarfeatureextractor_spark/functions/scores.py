@@ -322,6 +322,7 @@ def subband_scores_list_array(arr, n_chan: int) -> np.ndarray:
 
 def with_subband_scores(
     df: DataFrame, flat_col: str = "sb_flat", n_chan: int = 8,
+    drop: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Append the sub-band score columns (mapInArrow, zero-object).
 
@@ -331,23 +332,35 @@ def with_subband_scores(
     a second indirection for nothing when every row of a cube has equal
     width).  Pure map over batches: no shuffle, no state, same scale
     shape as the 1-D score family.
+
+    Spark cannot column-prune THROUGH an opaque mapInArrow, so callers
+    should select the columns they need before calling; ``drop``
+    additionally removes columns (typically the wide cube itself) from
+    the OUTPUT batches at the Python boundary, so the return crossing
+    ships only the narrow score columns — same discipline as
+    ``featureset.fused_features_arrow``.
     """
     import pyarrow as pa
 
-    out_fields = list(df.schema.fields) + [
-        T.StructField(name, T.DoubleType(), True) for name in SUBBAND_FIELDS
-    ]
-    out_schema = T.StructType(out_fields)
+    dropset = set(drop)
+    keep = [f for f in df.schema.fields if f.name not in dropset]
+    keep_names = [f.name for f in keep]
+    out_schema = T.StructType(
+        list(keep) + [
+            T.StructField(name, T.DoubleType(), True)
+            for name in SUBBAND_FIELDS
+        ]
+    )
 
     def compute(batches):
         for batch in batches:
             scores = subband_scores_list_array(batch.column(flat_col), n_chan)
-            arrays = batch.columns + [
+            arrays = [batch.column(n) for n in keep_names] + [
                 pa.array(scores[:, i], type=pa.float64())
                 for i in range(len(SUBBAND_FIELDS))
             ]
             yield pa.RecordBatch.from_arrays(
-                arrays, names=batch.schema.names + SUBBAND_FIELDS
+                arrays, names=keep_names + SUBBAND_FIELDS
             )
 
     return df.mapInArrow(compute, out_schema)

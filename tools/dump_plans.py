@@ -84,6 +84,22 @@ def main() -> None:
          ).select("doc_id", "event_time", "mean", "stdev", "f_mean")),
     ]
 
+    from pulsarfeatureextractor_spark.functions.scores import with_subband_scores
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        with_synthetic_subbands,
+    )
+
+    sections.append((
+        "Sub-band score family (2-D cube, mapInArrow)",
+        "flat band-major cube built by JVM transform/concat, scored in "
+        "one PythonMapInArrow pass — pure map, no Exchange; input pruned "
+        "to (id, cube) before the opaque boundary and the wide cube "
+        "dropped from the output batches:",
+        with_subband_scores(
+            with_synthetic_subbands(seqs).select("doc_id", "sb_flat"),
+            "sb_flat", drop=("sb_flat",),
+        ).select("doc_id", "sb_corr_mean", "sb_peak_jitter")))
+
     # storage-bucketed as-of: needs a materialized table first
     import tempfile
 
