@@ -75,6 +75,48 @@ def write_arff(df: DataFrame, path: str, relation: str = "features",
         f.write(arff_header(df.schema, relation))
 
 
+def parse_arff_header(header_text: str) -> T.StructType:
+    """@attribute lines -> StructType (the inverse of ``arff_header``).
+
+    ARFF's `numeric` carries no width, so numeric attributes come back
+    as DoubleType (the widest); `string` -> StringType, `date` ->
+    TimestampType.  Lines are whitespace-tolerant; parsing stops at
+    @data.
+    """
+    kinds = {"numeric": T.DoubleType(), "string": T.StringType(),
+             "date": T.TimestampType()}
+    fields = []
+    for line in header_text.splitlines():
+        line = line.strip()
+        low = line.lower()
+        if low.startswith("@data"):
+            break
+        if not low.startswith("@attribute"):
+            continue
+        parts = line.split()
+        if len(parts) < 3:
+            raise ValueError(f"malformed @attribute line: {line!r}")
+        name, kind = parts[1], parts[2].lower()
+        if kind not in kinds:
+            raise ValueError(f"unsupported ARFF attribute type: {line!r}")
+        fields.append(T.StructField(name, kinds[kind], True))
+    if not fields:
+        raise ValueError("no @attribute lines found in ARFF header")
+    return T.StructType(fields)
+
+
+def read_arff(spark, path: str) -> DataFrame:
+    """Read a ``write_arff`` directory back: parse the O(columns)
+    header sidecar driver-side, then a DISTRIBUTED schema'd CSV scan of
+    the part files — the round-trip import path for feature sets
+    exported to classifier tooling.  No inference scan, no driver
+    funnel."""
+    with open(os.path.join(path, "header.arff")) as f:
+        schema = parse_arff_header(f.read())
+    return (spark.read.schema(schema).option("header", False)
+            .option("emptyValue", "").csv(os.path.join(path, "data")))
+
+
 def assemble_single_file(path: str, out_file: str,
                          max_bytes: int = 256 * 1024 * 1024) -> str:
     """Concatenate an ARFF header + its CSV parts (or a write_csv dir's

@@ -321,6 +321,35 @@ def test_interchange_csv_and_arff(spark, tmp_path):
     assert body == ["c1,1.5,10", "c2,-2.25,20", "c3,0.0,30"]
 
 
+def test_interchange_arff_roundtrip_read(spark, tmp_path):
+    """write_arff -> read_arff closes the classifier interchange loop:
+    the schema comes back from the O(columns) header sidecar (numerics
+    widen to double — ARFF carries no width) and the data section is a
+    distributed schema'd CSV scan."""
+    from pulsarfeatureextractor_spark.sinks.interchange import (
+        parse_arff_header,
+        read_arff,
+        write_arff,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 1.5, 10), ("c2", -2.25, 20), ("c3", 0.0, 30)],
+        "doc_id string, score double, n int",
+    )
+    arff_dir = str(tmp_path / "arff_rt")
+    write_arff(df, arff_dir, relation="pfe")
+    back = read_arff(spark, arff_dir)
+    assert [f.name for f in back.schema.fields] == ["doc_id", "score", "n"]
+    assert back.schema["n"].dataType.simpleString() == "double"  # widened
+    want = sorted((r[0], float(r[1]), float(r[2])) for r in df.collect())
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="unsupported ARFF attribute"):
+        parse_arff_header("@attribute x relational\n@data\n")
+    with pytest.raises(ValueError, match="no @attribute"):
+        parse_arff_header("@relation r\n@data\n")
+
+
 def test_interchange_assembly_cap(spark, tmp_path):
     from pulsarfeatureextractor_spark.sinks.interchange import (
         assemble_single_file,
