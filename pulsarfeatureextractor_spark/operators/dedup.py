@@ -341,8 +341,11 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint: sizes is one row PER DOCUMENT — tiny at test
+    # scale (AQE broadcasts it anyway) but O(corpus) at 10^12 docs,
+    # where these must be shuffle joins on the pair ids
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
