@@ -960,6 +960,31 @@ def ann_lsh_topk_docs(spark, sf):
     )
 
 
+def phcx_ingest_docs(spark, sf):
+    """A3/A4 ingest gate: synthesize the deterministic PHCX-like fixture
+    set (sources/candidates.write_synthetic_phcx), read it back
+    DISTRIBUTED (binaryFile scan + mapInPandas gzip/XML parse), and emit
+    one row per (candidate, curve kind) with an exact token checksum.
+    The oracle is a VALUES literal from the SAME pure-python truth
+    function the writer uses (synthetic_phcx_truth) — no Spark, no
+    disk on the oracle side."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sources.candidates import (
+        read_phcx_dir,
+        write_synthetic_phcx,
+    )
+
+    d = tempfile.mkdtemp(prefix="phcx_gate_")
+    write_synthetic_phcx(d, n_files=4, candidates_per_file=3)
+    out = read_phcx_dir(spark, d)
+    tok_sum = F.aggregate(
+        F.transform("tokens", lambda v: v.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v,
+    )
+    return out.select("doc_id", "kind", "n_tok", tok_sum.alias("token_sum"))
+
+
 def media_stats_summary(spark, sf):
     """Multimodal: JVM-only binary-column stats on the deterministic
     synthetic media table (no codec libs in container; decode kernels
@@ -1334,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
+        "phcx_ingest_docs": phcx_ingest_docs,
     }
 
 
@@ -2161,5 +2187,21 @@ def oracle_sql() -> dict[str, str]:
     out["lyon_pandas_udf_docs"] = out["lyon_features_docs"]
     out["streaming_stateful_asof_events"] = out["asof_purchase_before_view"]
     out["asof_storage_plan_purchases"] = out["asof_purchase_before_view"]
+    # PHCX ingest: expected rows from the SAME pure-python truth the
+    # fixture writer uses — deterministic, sf-independent
+    from pulsarfeatureextractor_spark.sources.candidates import (
+        synthetic_phcx_truth,
+    )
+
+    phcx_rows = []
+    for doc_id, prof, dm in synthetic_phcx_truth(n_files=4, candidates_per_file=3):
+        phcx_rows.append(f"('{doc_id}', 'profile', {len(prof)}, {sum(prof)})")
+        phcx_rows.append(f"('{doc_id}', 'dmcurve', {len(dm)}, {sum(dm)})")
+    out["phcx_ingest_docs"] = (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(kind AS VARCHAR) AS kind, "
+        "CAST(n_tok AS INT) AS n_tok, CAST(token_sum AS BIGINT) AS token_sum "
+        "FROM (VALUES " + ", ".join(phcx_rows) + ") AS t(doc_id, kind, n_tok, token_sum)"
+    )
+
     out.update(_values_oracles())
     return out
