@@ -742,6 +742,46 @@ def ngram_jaccard_pairs_docs(spark, sf):
     )
 
 
+def split_assign_docs(spark, sf):
+    """Deterministic train/val/test assignment keyed off a portable md5
+    bucket of doc_id — the engine-independent split definition a
+    warehouse can reproduce verbatim (the oracle runs the identical
+    expression in DuckDB).  Production default is the cheaper
+    xxhash64 tier (functions/splits.py)."""
+    from pulsarfeatureextractor_spark.functions.splits import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return hash_split(
+        d, "doc_id", seed="sf", hasher="md5", bucket_out="bucket"
+    ).select("doc_id", "bucket", "split")
+
+
+def stratified_sample_docs(spark, sf):
+    """Exactly-5-per-source deterministic sample (seeded-hash order,
+    ties by doc_id) — reproducible across engines and reruns."""
+    from pulsarfeatureextractor_spark.functions.splits import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    return stratified_sample(d, "source", k=5, id_col="doc_id", seed="sf").select(
+        "doc_id", "source", "rk"
+    )
+
+
+def dedup_groups_docs(spark, sf):
+    """Dedup-group resolution: exact n-gram Jaccard pairs → distributed
+    connected components (min-label propagation) → one group_id per doc
+    (its component's min doc_id; itself if never paired).  The oracle is
+    a DuckDB recursive CTE computing the same transitive closure over
+    the same pair graph."""
+    from pulsarfeatureextractor_spark.operators.components import dedup_groups
+
+    d = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return dedup_groups(d, pairs, "doc_id").select(
+        "doc_id", "group_id", "group_size"
+    )
+
+
 def width_features_docs(spark, sf):
     from pulsarfeatureextractor_spark.functions.scores import with_width_features
 
@@ -1295,7 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
         "top_unshipped_orders": top_unshipped_orders,
-        "orders_above_customer_avg": orders_above_customer_avg,
         "asof_purchase_before_view": asof_purchase_before_view,
         "asof_merge_plan_purchases": asof_merge_plan_purchases,
         "asof_bucketed_plan_purchases": asof_bucketed_plan_purchases,
@@ -1312,7 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling_counts_events": streaming_tumbling_counts_events,
         "streaming_stateful_asof_events": streaming_stateful_asof_events,
         "vocab_tokenize_docs": vocab_tokenize_docs,
-        "raw_bins_passthrough": raw_bins_passthrough,
+        "dedup_groups_docs": dedup_groups_docs,
+        "split_assign_docs": split_assign_docs,
         "dedup_exact_docs": dedup_exact_docs,
         "doc_quality_metrics": doc_quality_metrics,
         "token_counts_docs": token_counts_docs,
@@ -1333,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "embedding_neardup_exact": embedding_neardup_exact,
         # ---- tail: pytest-gated extras beyond the driver window ----
+        "orders_above_customer_avg": orders_above_customer_avg,
+        "raw_bins_passthrough": raw_bins_passthrough,
+        "stratified_sample_docs": stratified_sample_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -1504,7 +1547,14 @@ def _values_oracles() -> dict[str, str]:
         return json.load(f)
 
 
+def _md5_bucket_sql() -> str:
+    from pulsarfeatureextractor_spark.functions.splits import _md5_bucket_expr
+
+    return _md5_bucket_expr("doc_id", "sf")
+
+
 def oracle_sql() -> dict[str, str]:
+    _MD5_BUCKET_SQL = _md5_bucket_sql()
     out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2019,6 +2069,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON id_a = x.doc_id
             JOIN sz y ON id_b = y.doc_id
             WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+        """,
+        # portable md5-bucket split: the IDENTICAL expression text runs in
+        # Spark SQL and DuckDB (md5 lowercase hex, instr/substr 1-based in
+        # both) — generated by the same helper the engine operator uses
+        "split_assign_docs": f"""
+            SELECT doc_id,
+                   {_MD5_BUCKET_SQL} AS bucket,
+                   CASE WHEN {_MD5_BUCKET_SQL} < 3277 THEN 'train'
+                        WHEN {_MD5_BUCKET_SQL} < 3686 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY {_MD5_BUCKET_SQL} ASC, doc_id ASC
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "dedup_groups_docs": """
+            WITH RECURSIVE ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))) AS s
+                FROM ws
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sz x ON id_a = x.doc_id
+                JOIN sz y ON id_b = y.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+            )
+            SELECT doc_id, group_id,
+                   COUNT(*) OVER (PARTITION BY group_id) AS group_size
+            FROM comp
         """,
         "width_features_docs": """
             WITH seq AS (
