@@ -767,6 +767,24 @@ def stratified_sample_docs(spark, sf):
     )
 
 
+def tfidf_topk_docs(spark, sf):
+    """Top-3 TF-IDF terms per document — score rounded to 6 decimals
+    BEFORE ranking so the (score, rank) pair is engine-reproducible."""
+    from pulsarfeatureextractor_spark.functions.tfidf import tfidf_topk
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_topk(d, "text", "doc_id", k=3)
+
+
+def profile_numeric_docs(spark, sf):
+    """Per-source numeric profile of n_chars (pipeline-QA first query:
+    counts, range, moments, exact median)."""
+    from pulsarfeatureextractor_spark.functions.profile import numeric_profile
+
+    d = load_table(spark, sf, "documents")
+    return numeric_profile(d, "source", "n_chars")
+
+
 def dedup_groups_docs(spark, sf):
     """Dedup-group resolution: exact n-gram Jaccard pairs → distributed
     connected components (min-label propagation) → one group_id per doc
@@ -1376,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": orders_above_customer_avg,
         "raw_bins_passthrough": raw_bins_passthrough,
         "stratified_sample_docs": stratified_sample_docs,
+        "tfidf_topk_docs": tfidf_topk_docs,
+        "profile_numeric_docs": profile_numeric_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -2090,6 +2110,43 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "tfidf_topk_docs": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM w WHERE term <> '' GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1
+            ), n AS (
+                SELECT COUNT(*) AS n FROM documents
+            ), s AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND(tf.tf * (ln((n.n + 1.0) / (dfq.dfc + 1.0)) + 1.0), 6)
+                           AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf, rk FROM (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC
+                       ) AS rk
+                FROM s
+            ) WHERE rk <= 3
+        """,
+        "profile_numeric_docs": """
+            SELECT source,
+                   COUNT(*) AS n,
+                   MIN(n_chars) AS v_min,
+                   MAX(n_chars) AS v_max,
+                   ROUND(AVG(n_chars), 6) AS v_avg,
+                   ROUND(stddev_samp(n_chars), 6) AS v_stddev,
+                   ROUND(quantile_cont(n_chars, 0.5), 6) AS v_median
+            FROM documents
+            GROUP BY source
         """,
         "dedup_groups_docs": """
             WITH RECURSIVE ws AS (

@@ -1,0 +1,62 @@
+"""tfidf_topk and numeric_profile unit checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pulsarfeatureextractor_spark.functions.profile import numeric_profile
+from pulsarfeatureextractor_spark.functions.tfidf import tfidf_topk
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b c c")], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    idf = math.log(4 / 3) + 1  # every term appears in 2 of 3 docs
+    got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rk"]) for r in out}
+    assert got == {
+        (1, "a"): (round(2 * idf, 6), 1),
+        (1, "b"): (round(1 * idf, 6), 2),
+        (2, "a"): (round(1 * idf, 6), 1),  # tie with c → term asc
+        (2, "c"): (round(1 * idf, 6), 2),
+        (3, "b"): (round(2 * idf, 6), 1),
+        (3, "c"): (round(2 * idf, 6), 2),
+    }
+
+
+def test_tfidf_idf_join_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = (
+        tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_numeric_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 2, 3, 4)] + [("h", 10)], "src string, v long"
+    )
+    rows = {r["src"]: r for r in numeric_profile(df, "src", "v").collect()}
+    g = rows["g"]
+    assert (g["n"], g["v_min"], g["v_max"]) == (4, 1, 4)
+    assert g["v_avg"] == 2.5
+    assert g["v_median"] == 2.5
+    assert g["v_stddev"] == round(math.sqrt(5 / 3), 6)
+    h = rows["h"]
+    assert (h["n"], h["v_min"], h["v_max"], h["v_avg"], h["v_median"]) == (
+        1,
+        10,
+        10,
+        10.0,
+        10.0,
+    )
+    assert h["v_stddev"] is None  # stddev_samp of a single row
+
+
+def test_numeric_profile_approx_mode_runs(spark):
+    df = spark.createDataFrame([("g", v) for v in range(100)], "src string, v long")
+    row = numeric_profile(df, "src", "v", exact_median=False).collect()[0]
+    assert 40 <= row["v_median"] <= 60
