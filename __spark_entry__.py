@@ -785,6 +785,36 @@ def profile_numeric_docs(spark, sf):
     return numeric_profile(d, "source", "n_chars")
 
 
+def pack_sequences_docs(spark, sf):
+    """Concat-and-chunk sequence packing via the two-level distributed
+    prefix sum (operators/packing.py) — bucket_size 50 forces ~10
+    buckets at sf0.01 so the bucket-prefix path is actually exercised.
+    Oracle: the equivalent single global window cumsum in DuckDB."""
+    from pulsarfeatureextractor_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(t, seq_len=512, bucket_size=50).select(
+        "doc_id", "n_tok", "tok_start", "pack_id", "pack_offset"
+    )
+
+
+def contamination_check_docs(spark, sf):
+    """Eval-vs-train shingle overlap: docs with doc_id % 10 == 0 act as
+    the held-out eval set, the rest as the training corpus."""
+    from pulsarfeatureextractor_spark.operators.contamination import (
+        contamination_ratio,
+    )
+
+    d = load_table(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    tr = d.where(F.col("doc_id") % 10 != 0)
+    return contamination_ratio(tr, ev, "text", "doc_id", shingle_n=3)
+
+
 def dedup_groups_docs(spark, sf):
     """Dedup-group resolution: exact n-gram Jaccard pairs → distributed
     connected components (min-label propagation) → one group_id per doc
@@ -1396,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "tfidf_topk_docs": tfidf_topk_docs,
         "profile_numeric_docs": profile_numeric_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "contamination_check_docs": contamination_check_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -2110,6 +2142,45 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "pack_sequences_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       CAST(COALESCE(SUM(n_tok) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_start
+                FROM t
+            )
+            SELECT doc_id, n_tok, tok_start,
+                   tok_start // 512 AS pack_id,
+                   tok_start % 512 AS pack_offset
+            FROM c
+        """,
+        "contamination_check_docs": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))) AS s
+                FROM ws
+            ), tr AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0
+            ), ev AS (
+                SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0
+            )
+            SELECT ev.doc_id,
+                   COUNT(*) AS n_shingles,
+                   COUNT(tr.s) AS n_hit,
+                   ROUND(COUNT(tr.s) * 1.0 / COUNT(*), 6) AS ratio
+            FROM ev LEFT JOIN tr ON ev.s = tr.s
+            GROUP BY ev.doc_id
         """,
         "tfidf_topk_docs": """
             WITH w AS (

@@ -1,0 +1,65 @@
+"""pack_sequences / contamination_ratio unit checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pulsarfeatureextractor_spark.operators.contamination import contamination_ratio
+from pulsarfeatureextractor_spark.operators.packing import pack_sequences
+
+
+def test_pack_sequences_matches_serial_scan(spark):
+    # 57 docs with varying token counts; small bucket_size to force
+    # many buckets (exercises the two-level scan), seq_len 16
+    rows = [(i, (i * 7) % 13 + 1) for i in range(57)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: (r["tok_start"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, seq_len=16, bucket_size=5).collect()
+    }
+    start = 0
+    for i, n in rows:
+        assert out[i] == (start, start // 16, start % 16), f"doc {i}"
+        start += n
+    assert len(out) == 57
+
+
+def test_pack_sequences_single_bucket_and_sparse_ids(spark):
+    # non-contiguous ids: order is still by id; one giant bucket
+    rows = [(100, 3), (205, 5), (999, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: (r["tok_start"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, seq_len=4, bucket_size=10**6).collect()
+    }
+    assert out == {100: (0, 0, 0), 205: (3, 0, 3), 999: (8, 2, 0)}
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+
+
+def test_contamination_ratio_hand_computed(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            # shingles: "the cat sat","cat sat on","sat on the","on the mat"
+            (10, "the cat sat on the mat"),  # 4/4 hit
+            (11, "the cat sat somewhere else entirely"),  # 1/4 hit
+            (12, "completely novel words here"),  # 0/2 hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["ratio"])
+        for r in contamination_ratio(train, ev).collect()
+    }
+    assert got[10] == (4, 4, 1.0)
+    assert got[11] == (4, 1, 0.25)
+    assert got[12] == (2, 0, 0.0)
