@@ -815,6 +815,17 @@ def contamination_check_docs(spark, sf):
     return contamination_ratio(tr, ev, "text", "doc_id", shingle_n=3)
 
 
+def repetition_metrics_docs(spark, sf):
+    """Gopher-style repetition quality filters: top n-gram count mass
+    per doc for n=1..3 (functions/text.with_repetition_metrics)."""
+    from pulsarfeatureextractor_spark.functions.text import with_repetition_metrics
+
+    d = load_table(spark, sf, "documents")
+    return with_repetition_metrics(d, "text").select(
+        "doc_id", "rep_1", "rep_2", "rep_3"
+    )
+
+
 def dedup_groups_docs(spark, sf):
     """Dedup-group resolution: exact n-gram Jaccard pairs → distributed
     connected components (min-label propagation) → one group_id per doc
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_docs": tfidf_topk_docs,
         "profile_numeric_docs": profile_numeric_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "repetition_metrics_docs": repetition_metrics_docs,
         "contamination_check_docs": contamination_check_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
@@ -2142,6 +2154,29 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "repetition_metrics_docs": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+                SELECT doc_id, nn.n,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - (nn.n - 1), 1) + 1),
+                           i -> array_to_string(w[i:i+nn.n-1], ' '))) AS gram
+                FROM ws CROSS JOIN (VALUES (1), (2), (3)) AS nn(n)
+            ), pg AS (
+                SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+            ), pn AS (
+                SELECT doc_id, n,
+                       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                           AS rep
+                FROM pg GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   MAX(CASE WHEN n = 1 THEN rep END) AS rep_1,
+                   MAX(CASE WHEN n = 2 THEN rep END) AS rep_2,
+                   MAX(CASE WHEN n = 3 THEN rep END) AS rep_3
+            FROM pn GROUP BY doc_id
         """,
         "pack_sequences_docs": """
             WITH t AS (

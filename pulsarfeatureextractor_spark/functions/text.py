@@ -117,3 +117,48 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")).cast("int"),
         )
     )
+
+
+def with_repetition_metrics(
+    df: DataFrame, text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, recast
+    as count mass): for each n in 1..max_n, the fraction of the
+    document's word n-grams taken by its single most frequent n-gram
+    (`rep_n` columns, rounded to 6 decimals).  High rep_2/rep_3 flags
+    boilerplate and degenerate loops.
+
+    One scan: the n-gram arrays for every n are built and tagged
+    JVM-side, concatenated, and exploded ONCE; then one shuffle on
+    (doc, n, gram) and one hash aggregate per (doc, n).  At 100 TB
+    the (doc, n, gram) key is unique-ish per doc so the aggregate is
+    map-side-combinable and skew-free (keys never cross documents)."""
+    from pulsarfeatureextractor_spark.operators.dedup import shingles
+
+    def _tag(n: int):
+        # closure factory: a `lambda g, n=n:` would be seen by PySpark's
+        # arity sniffing as the 2-arg (element, index) form
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[
+            F.transform(shingles(text_col, n), _tag(n))
+            for n in range(1, max_n + 1)
+        ]
+    )
+    exploded = df.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
+    )
+    per_gram = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep")
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("rep"))).alias(f"rep_{n}")
+            for n in range(1, max_n + 1)
+        ]
+    )
+    return df.join(wide, "doc_id", "left")

@@ -60,3 +60,19 @@ def test_numeric_profile_approx_mode_runs(spark):
     df = spark.createDataFrame([("g", v) for v in range(100)], "src string, v long")
     row = numeric_profile(df, "src", "v", exact_median=False).collect()[0]
     assert 40 <= row["v_median"] <= 60
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from pulsarfeatureextractor_spark.functions.text import with_repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y"), (3, "w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["rep_1"], r["rep_2"], r["rep_3"])
+        for r in with_repetition_metrics(df).collect()
+    }
+    assert got[1] == (0.75, 0.666667, 0.5)
+    assert got[2] == (0.5, 0.666667, 0.5)
+    # single word: every n-gram tier degenerates to the word itself
+    assert got[3] == (1.0, 1.0, 1.0)
