@@ -55,6 +55,9 @@ HEADLINE = [
     "simhash_signatures_docs",     # single-pass Arrow simhash (vs 64-fold SQL)
     "subband_scores_docs",         # 2-D sub-band score family (A8)
     "ann_cosine_topk",             # brute-force ANN
+    "pack_sequences_docs",         # two-level distributed prefix sum
+    "tfidf_topk_docs",             # TF-IDF (broadcast term dictionary)
+    "contamination_check_docs",    # eval-vs-corpus shingle overlap
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
 
