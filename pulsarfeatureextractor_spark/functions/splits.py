@@ -46,6 +46,8 @@ def _md5_bucket_expr(id_sql: str, seed: str) -> str:
     """SQL text for the portable md5 bucket — identical in Spark SQL and
     DuckDB (instr / substr / md5 agree on semantics and md5 outputs
     lowercase hex in both)."""
+    if "'" in seed or "\\" in seed:
+        raise ValueError("seed must not contain quotes or backslashes")
     h = f"md5(concat(CAST({id_sql} AS STRING), '|', '{seed}'))"
     terms = []
     for i, mult in ((1, 256), (2, 16), (3, 1)):

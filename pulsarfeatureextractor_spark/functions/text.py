@@ -120,7 +120,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_repetition_metrics(
-    df: DataFrame, text_col: str = "text", max_n: int = 3
+    df: DataFrame, text_col: str = "text", max_n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, recast
     as count mass): for each n in 1..max_n, the fraction of the
@@ -146,19 +146,19 @@ def with_repetition_metrics(
             for n in range(1, max_n + 1)
         ]
     )
-    exploded = df.select("doc_id", F.explode(tagged).alias("t")).select(
-        "doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
+    exploded = df.select(id_col, F.explode(tagged).alias("t")).select(
+        id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
     )
-    per_gram = exploded.groupBy("doc_id", "n", "gram").agg(
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    per_n = per_gram.groupBy("doc_id", "n").agg(
+    per_n = per_gram.groupBy(id_col, "n").agg(
         F.round(F.max("c") / F.sum("c"), 6).alias("rep")
     )
-    wide = per_n.groupBy("doc_id").agg(
+    wide = per_n.groupBy(id_col).agg(
         *[
             F.max(F.when(F.col("n") == n, F.col("rep"))).alias(f"rep_{n}")
             for n in range(1, max_n + 1)
         ]
     )
-    return df.join(wide, "doc_id", "left")
+    return df.join(wide, id_col, "left")
