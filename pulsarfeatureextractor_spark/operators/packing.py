@@ -67,6 +67,11 @@ def pack_sequences(
         "__cum", F.sum(F.col(n_tok_col).cast("long")).over(w_local)
     )
 
+    # bucket totals from the SOURCE, not the window output: the partial
+    # (map-side) aggregate means this branch's exchange carries only
+    # #buckets × #tasks partial sums, and its scan is pruned to the two
+    # integer columns — strictly cheaper than either re-shuffling full
+    # rows or forcing ReuseExchange of the wide-row window exchange
     totals = with_b.groupBy("__bkt").agg(
         F.sum(F.col(n_tok_col).cast("long")).alias("__tot")
     )

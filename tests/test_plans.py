@@ -148,3 +148,41 @@ def test_fused_pipeline_one_python_one_exchange(spark):
     # may appear anywhere downstream of the map
     post = plan.split("MapInArrow")[0]
     assert "tokens" not in post
+
+
+def test_pack_sequences_plan_two_level_scan(spark):
+    """The distributed prefix sum must NOT be a single global window:
+    full rows shuffle exactly once (by bucket); the bucket-total branch
+    is a partial aggregate (narrow shuffle); the bucket-prefix window is
+    the only SinglePartition exchange (metadata-sized) and comes back
+    via broadcast."""
+    from pulsarfeatureextractor_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id", "(id % 7) + 1 AS n_tok")
+    plan = _plan(pack_sequences(df, 16, bucket_size=100))
+    assert plan.count("Exchange hashpartitioning") == 2  # wide rows + partial sums
+    assert plan.count("Exchange SinglePartition") == 1   # bucket totals only
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # totals branch combines map-side
+    assert "Python" not in plan
+
+
+def test_hash_split_fused_into_scan(spark):
+    """Split assignment is row-local: no exchange of any kind."""
+    from pulsarfeatureextractor_spark.functions.splits import hash_split
+
+    df = spark.range(0, 100).selectExpr("id AS doc_id")
+    plan = _plan(hash_split(df, hasher="xxhash"))
+    assert "Exchange" not in plan
+
+
+def test_contamination_single_shingle_shuffle_no_python(spark):
+    from pulsarfeatureextractor_spark.operators.contamination import (
+        contamination_ratio,
+    )
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+    plan = _plan(contamination_ratio(train, ev))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

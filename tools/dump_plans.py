@@ -129,6 +129,23 @@ def main() -> None:
         ).select("doc_id", "event_time", "mean", "stdev", "f_mean"),
     ))
 
+    from pulsarfeatureextractor_spark.operators.packing import pack_sequences
+
+    sections.append((
+        "Sequence packing — two-level distributed prefix sum",
+        "full rows shuffle ONCE (bucket window); the bucket-total branch "
+        "shuffles only map-side partial sums over a two-int-column scan; "
+        "the only SinglePartition exchange is the metadata-sized "
+        "bucket-prefix window, returned via broadcast join:",
+        pack_sequences(
+            spark.range(0, 2000).selectExpr(
+                "id AS doc_id", "(id % 7) + 1 AS n_tok"
+            ),
+            512,
+            bucket_size=100,
+        ),
+    ))
+
     out = ["# PLANS — `explain(\"formatted\")` for the load-bearing plans",
            "",
            "Regenerate with `python tools/dump_plans.py`. Plan-shape",
