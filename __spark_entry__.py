@@ -815,6 +815,25 @@ def contamination_check_docs(spark, sf):
     return contamination_ratio(tr, ev, "text", "doc_id", shingle_n=3)
 
 
+def pipeline_curation_docs(spark, sf):
+    """End-to-end curation composition (the training-data twin of the
+    feature flagship): length filter → exact near-dup pairs → group
+    resolution → canonical-keep → deterministic split.  One oracle
+    covers the whole chain (quality CTE + recursive-CTE components +
+    portable split expression)."""
+    from pulsarfeatureextractor_spark.functions.splits import hash_split
+    from pulsarfeatureextractor_spark.operators.components import dedup_groups
+
+    d = load_table(spark, sf, "documents")
+    filt = d.where(F.size(F.split(F.col("text"), " ")) >= 20)
+    pairs = ngram_jaccard_pairs(filt, "text", "doc_id", shingle_n=3, threshold=0.5)
+    groups = dedup_groups(filt, pairs, "doc_id")
+    keep = groups.where(F.col("group_id") == F.col("doc_id"))
+    return hash_split(keep, "doc_id", seed="sf", hasher="md5").select(
+        "doc_id", "group_size", "split"
+    )
+
+
 def repetition_metrics_docs(spark, sf):
     """Gopher-style repetition quality filters: top n-gram count mass
     per doc for n=1..3 (functions/text.with_repetition_metrics)."""
@@ -1439,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric_docs": profile_numeric_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "repetition_metrics_docs": repetition_metrics_docs,
+        "pipeline_curation_docs": pipeline_curation_docs,
         "contamination_check_docs": contamination_check_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
@@ -2155,6 +2175,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rk <= 5
         """,
+        "pipeline_curation_docs": f"""
+            WITH RECURSIVE filt AS (
+                SELECT doc_id, text FROM documents
+                WHERE len(string_split(text, ' ')) >= 20
+            ), ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM filt
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 2, 1) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))) AS s
+                FROM ws
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sz x ON id_a = x.doc_id
+                JOIN sz y ON id_b = y.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM filt
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+            ), grouped AS (
+                SELECT doc_id, group_id,
+                       COUNT(*) OVER (PARTITION BY group_id) AS group_size
+                FROM comp
+            )
+            SELECT doc_id, group_size,
+                   CASE WHEN {{b}} < 3277 THEN 'train'
+                        WHEN {{b}} < 3686 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM grouped WHERE group_id = doc_id
+        """.replace("{b}", _MD5_BUCKET_SQL),
         "repetition_metrics_docs": """
             WITH ws AS (
                 SELECT doc_id, string_split(text, ' ') AS w FROM documents
