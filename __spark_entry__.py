@@ -815,6 +815,28 @@ def contamination_check_docs(spark, sf):
     return contamination_ratio(tr, ev, "text", "doc_id", shingle_n=3)
 
 
+def merge_upsert_docs(spark, sf):
+    """Copy-on-write MERGE roundtrip run INSIDE the query (like the
+    sink-resume gate): seed the snapshot table with docs 0-199, append
+    200-399, then upsert 200-499 with n_chars shifted by 1000 — the
+    readback must equal the oracle's CASE expression over documents."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    tbl = IcebergLikeTable(tempfile.mkdtemp(prefix="merge_docs_"))
+    tbl.write(d.where(F.col("doc_id") < 200))
+    tbl.write(
+        d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)), mode="append"
+    )
+    upd = d.where(F.col("doc_id") >= 200).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    tbl.merge_upsert(upd, keys=["doc_id"])
+    return tbl.read(spark).select("doc_id", "n_chars")
+
+
 def pipeline_curation_docs(spark, sf):
     """End-to-end curation composition (the training-data twin of the
     feature flagship): length filter → exact near-dup pairs → group
@@ -1459,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "repetition_metrics_docs": repetition_metrics_docs,
         "pipeline_curation_docs": pipeline_curation_docs,
+        "merge_upsert_docs": merge_upsert_docs,
         "contamination_check_docs": contamination_check_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
@@ -2174,6 +2197,12 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "merge_upsert_docs": """
+            SELECT doc_id,
+                   CASE WHEN doc_id >= 200 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents
         """,
         "pipeline_curation_docs": f"""
             WITH RECURSIVE filt AS (

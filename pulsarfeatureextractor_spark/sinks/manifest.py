@@ -191,6 +191,98 @@ class IcebergLikeTable:
         )
         return manifest
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: "list[str]",
+        metrics: "dict | None" = None,
+    ) -> dict:
+        """Copy-on-write MERGE by key (Iceberg ``MERGE INTO`` with
+        copy-on-write row-level ops): rows whose key matches an
+        incoming row are replaced, new keys are inserted — and ONLY the
+        data files that actually contain a matched key are rewritten.
+        Untouched files carry over into the new manifest unchanged, so
+        the write cost scales with the touched-file footprint, not the
+        table size.
+
+        Mechanics: the current snapshot is scanned with the
+        ``_metadata.file_path`` hidden column; a semi join against the
+        distinct incoming keys yields the touched-file list (driver
+        sees file PATHS only — O(#files) metadata).  Survivor rows
+        (touched files ∖ matched keys) union the updates into a new
+        data directory; the manifest lists untouched-prev + new files.
+        Time travel to pre-merge snapshots is unaffected.
+        """
+        spark = updates.sparkSession
+        ids = self.snapshot_ids()
+        if not ids:
+            return self.write(updates, mode="overwrite", metrics=metrics)
+        man = self.manifest(ids[-1])
+        # the _metadata hidden column resolves only directly on a scan —
+        # select it per base dir BEFORE unioning (read() unions first)
+        by_base: dict[str, list[str]] = {}
+        for f in man["files"]:
+            by_base.setdefault(f.get("base", ""), []).append(f["path"])
+        cur = None
+        for base, paths in sorted(by_base.items()):
+            reader = spark.read
+            if base:
+                reader = reader.option("basePath", base)
+            part = reader.parquet(*paths).select(
+                "*", F.col("_metadata.file_path").alias("__file")
+            )
+            cur = part if cur is None else cur.unionByName(
+                part, allowMissingColumns=True
+            )
+        key_df = updates.select(*keys).dropDuplicates(keys)
+        touched = {
+            r["__file"].removeprefix("file:")
+            for r in cur.join(F.broadcast(key_df), keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        untouched_prev = [f for f in man["files"] if f["path"] not in touched]
+        touched_norm = [f["path"] for f in man["files"] if f["path"] in touched]
+        survivors = (
+            cur.where(
+                F.col("__file").isin(
+                    [f"file:{p}" for p in touched_norm] + touched_norm
+                )
+            )
+            .join(F.broadcast(key_df), keys, "left_anti")
+            .drop("__file")
+        )
+        new_data = survivors.unionByName(updates)
+
+        sid = ids[-1] + 1
+        data_dir = os.path.join(self.path, DATA_DIR, f"snap-{uuid.uuid4().hex}")
+        new_data.write.mode("overwrite").parquet(data_dir)
+        new_files = _file_stats(spark, _list_parquet(data_dir))
+        for f in new_files:
+            f["base"] = data_dir
+            f["partition"] = _partition_values(data_dir, f["path"])
+        manifest = {
+            "snapshot_id": sid,
+            "parent_snapshot_id": ids[-1],
+            "committed_at": time.time(),
+            "operation": "merge",
+            "partition_spec": man.get("partition_spec", []),
+            "schema": updates.schema.jsonValue(),
+            "files": untouched_prev + new_files,
+            "total_rows": sum(f["rows"] for f in untouched_prev + new_files),
+            "metrics": {
+                **(metrics or {}),
+                "files_rewritten": len(touched_norm),
+                "files_carried": len(untouched_prev),
+            },
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        _fsync_write_json(
+            os.path.join(self.manifest_dir, f"snap-{sid}.json"), manifest
+        )
+        return manifest
+
     def read(
         self,
         spark: SparkSession,

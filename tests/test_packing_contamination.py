@@ -63,3 +63,30 @@ def test_contamination_ratio_hand_computed(spark):
     assert got[10] == (4, 4, 1.0)
     assert got[11] == (4, 1, 0.25)
     assert got[12] == (2, 0, 0.0)
+
+
+def test_pack_sequences_property_random(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=64),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(sizes, seq_len, bucket_size):
+        rows = [(i * 3 + 1, n) for i, n in enumerate(sizes)]  # sparse ids
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r["doc_id"]: (r["tok_start"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(
+                df, seq_len=seq_len, bucket_size=bucket_size
+            ).collect()
+        }
+        start = 0
+        for i, n in rows:
+            assert got[i] == (start, start // seq_len, start % seq_len)
+            start += n
+
+    check()
