@@ -90,3 +90,32 @@ def test_pack_sequences_property_random(spark):
             start += n
 
     check()
+
+
+def test_pack_sequences_range_mode_matches_div_mode(spark):
+    # sparse ids (the case div-mode's density contract excludes)
+    rows = [(h, (h % 11) + 1) for h in (10**12 + 7 * i for i in range(200))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    div = pack_sequences(df, 32, bucket_size=10**10)
+    rng = pack_sequences(df, 32, bucket_mode="range", n_buckets=7)
+    a = sorted((r["doc_id"], r["tok_start"], r["pack_id"], r["pack_offset"])
+               for r in div.collect())
+    b = sorted((r["doc_id"], r["tok_start"], r["pack_id"], r["pack_offset"])
+               for r in rng.collect())
+    assert a == b
+
+
+def test_pack_sequences_range_mode_string_ids(spark):
+    # range mode accepts ANY orderable key — here string ids
+    rows = [(f"doc_{i:05d}", i % 5 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in pack_sequences(
+            df, 16, bucket_mode="range", n_buckets=4
+        ).collect()
+    }
+    start = 0
+    for did, n in sorted(rows):
+        assert got[did] == start
+        start += n
