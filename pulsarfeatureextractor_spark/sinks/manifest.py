@@ -332,6 +332,40 @@ class IcebergLikeTable:
             df = df.where(where)
         return df
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: "int | None" = None,
+    ) -> DataFrame:
+        """Scan ONLY the data files added after ``from_snapshot`` (up to
+        ``to_snapshot``, default latest) — the incremental-processing
+        primitive: a feature-backfill job that already processed
+        snapshot N re-runs over the manifest DIFF, not the table.
+        File-level append diff (Iceberg incremental append scan);
+        rows removed by overwrite/merge snapshots in the interval are
+        not re-surfaced — files rewritten by a merge DO appear (their
+        content is new).
+        """
+        base = {f["path"] for f in self.manifest(from_snapshot)["files"]}
+        man = self.manifest(to_snapshot)
+        new_files = [f for f in man["files"] if f["path"] not in base]
+        if not new_files:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
+        by_base: dict[str, list[str]] = {}
+        for f in new_files:
+            by_base.setdefault(f.get("base", ""), []).append(f["path"])
+        df = None
+        for b, paths in sorted(by_base.items()):
+            reader = spark.read
+            if b:
+                reader = reader.option("basePath", b)
+            part = reader.parquet(*paths)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        return df
+
     def compact(self, target_file_mb: int = 128) -> dict:
         """Bin-pack small files into ~target-sized ones as a NEW
         overwrite snapshot (Iceberg rewrite_data_files surface).  Old

@@ -75,3 +75,41 @@ def test_merge_upsert_no_matches_carries_all_files(spark):
     assert pre_files <= {f["path"] for f in man["files"]}
     assert man["metrics"]["files_rewritten"] == 0
     assert _rows(tbl.read(spark)) == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_read_incremental_appends_only(spark):
+    path = tempfile.mkdtemp(prefix="incr_tbl_")
+    tbl = IcebergLikeTable(path)
+    m1 = tbl.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    m2 = tbl.write(
+        spark.createDataFrame([(2, "b")], "k long, v string"), mode="append"
+    )
+    m3 = tbl.write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), mode="append"
+    )
+    assert _rows(tbl.read_incremental(spark, m1["snapshot_id"])) == [
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert _rows(
+        tbl.read_incremental(spark, m1["snapshot_id"], m2["snapshot_id"])
+    ) == [(2, "b")]
+    assert tbl.read_incremental(spark, m3["snapshot_id"]).count() == 0
+
+
+def test_read_incremental_sees_merge_rewrites(spark):
+    path = tempfile.mkdtemp(prefix="incr_tbl_")
+    tbl = IcebergLikeTable(path)
+    m1 = tbl.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").repartition(1)
+    )
+    tbl.merge_upsert(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"), keys=["k"]
+    )
+    # the merge rewrote the file holding (1,2): incremental sees the
+    # rewritten content (1 unchanged, 2 updated) plus the insert
+    assert _rows(tbl.read_incremental(spark, m1["snapshot_id"])) == [
+        (1, "a"),
+        (2, "B2"),
+        (3, "c"),
+    ]
