@@ -815,6 +815,31 @@ def contamination_check_docs(spark, sf):
     return contamination_ratio(tr, ev, "text", "doc_id", shingle_n=3)
 
 
+def incremental_backfill_docs(spark, sf):
+    """Incremental feature backfill: snapshot 1 = docs 0-249 (already
+    processed), snapshot 2 appends 250+; the job reads ONLY the
+    manifest diff (read_incremental) and computes Lyon moments for the
+    new files — the oracle is the moment SQL restricted to the
+    appended id range."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+
+    d = load_table(spark, sf, "documents")
+    tbl = IcebergLikeTable(tempfile.mkdtemp(prefix="incr_docs_"))
+    m1 = tbl.write(d.where(F.col("doc_id") < 250))
+    tbl.write(d.where(F.col("doc_id") >= 250), mode="append")
+    new_docs = tbl.read_incremental(spark, m1["snapshot_id"])
+    out = with_lyon_features(documents_to_sequences(new_docs))
+    return out.select(
+        "doc_id",
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+    )
+
+
 def merge_upsert_docs(spark, sf):
     """Copy-on-write MERGE roundtrip run INSIDE the query (like the
     sink-resume gate): seed the snapshot table with docs 0-199, append
@@ -1482,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics_docs": repetition_metrics_docs,
         "pipeline_curation_docs": pipeline_curation_docs,
         "merge_upsert_docs": merge_upsert_docs,
+        "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
@@ -2197,6 +2223,40 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "incremental_backfill_docs": """
+            -- exact integer power sums + pinned expression order ==
+            -- bit-identical to the engine's moments_offsets (tokens are
+            -- ints < 256: every sum exact in BIGINT/DOUBLE)
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS INT)) AS tokens
+                FROM documents
+                WHERE doc_id >= 250
+            ), tok AS (
+                SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM seq
+            ), s AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       CAST(SUM(v) AS DOUBLE) AS s1,
+                       CAST(SUM(v*v) AS DOUBLE) AS s2,
+                       CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                       CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                FROM tok GROUP BY doc_id
+            ), m AS (
+                SELECT doc_id, n, s1/n AS mu,
+                       greatest(s2/n - (s1/n)*(s1/n), 0.0) AS m2,
+                       s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3c,
+                       s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4c
+                FROM s
+            )
+            SELECT doc_id,
+                   ROUND(mu, 6) AS mean,
+                   ROUND(CASE WHEN n >= 2 THEN sqrt(m2 * n / (n - 1)) ELSE 0.0 END, 6) AS stdev,
+                   ROUND(CASE WHEN m2 > 0 THEN m3c / (m2 ^ 1.5) ELSE 0.0 END, 6) AS skew,
+                   ROUND(CASE WHEN m2 > 0 THEN m4c / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurt
+            FROM m
         """,
         "merge_upsert_docs": """
             SELECT doc_id,
