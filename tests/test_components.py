@@ -102,3 +102,26 @@ def test_empty_pairs_all_singletons(spark):
     assert {(r["doc_id"], r["group_id"], r["group_size"]) for r in rows} == {
         (i, i, 1) for i in range(4)
     }
+
+
+def test_dedup_groups_over_minhash_pairs_production_path(spark, sf_correct):
+    """The production composition: MinHash-LSH pair candidates (scale
+    path) -> connected components -> canonical groups.  Every LSH pair
+    must land in one group, and group_id must be the component min."""
+    import os
+
+    from pulsarfeatureextractor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_correct, "documents.parquet"))
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    assert n_pairs > 0  # the fixtures plant near-dups
+    groups = dedup_groups(docs, pairs, "doc_id")
+    gid = {r["doc_id"]: r["group_id"] for r in groups.collect()}
+    assert len(gid) == docs.count()
+    want = _union_find(0, [(r["id_a"], r["id_b"]) for r in pairs.collect()])
+    for d, g in want.items():
+        assert gid[d] == g
+    # docs never paired are their own singleton group
+    paired = set(want)
+    assert all(g == d for d, g in gid.items() if d not in paired)
