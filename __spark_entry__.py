@@ -2214,12 +2214,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
-        "stratified_sample_docs": f"""
+        "stratified_sample_docs": """
             SELECT doc_id, source, rk FROM (
                 SELECT doc_id, source,
                        ROW_NUMBER() OVER (
                            PARTITION BY source
-                           ORDER BY {_MD5_BUCKET_SQL} ASC, doc_id ASC
+                           ORDER BY md5(CAST(doc_id AS STRING) || '|sf') ASC,
+                                    doc_id ASC
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5

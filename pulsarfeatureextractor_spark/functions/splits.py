@@ -112,10 +112,18 @@ def stratified_sample(
     rank_out: str = "rk",
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, picked by seeded-hash
-    order (deterministic uniform sample), ties broken by id."""
+    order (deterministic uniform sample), ties broken by id.
+
+    Ranks by the FULL md5 hex digest (lexicographic — identical in any
+    engine since md5 is lowercase-hex ASCII in all of them), not the
+    4096-value bucket: a truncated key would tie ~|stratum|/4096 rows
+    per bucket and the id tie-break would then bias the sample toward
+    low ids on big strata."""
+    if "'" in seed or "\\" in seed:
+        raise ValueError("seed must not contain quotes or backslashes")
     from pyspark.sql.window import Window
 
-    h = F.expr(_md5_bucket_expr(id_col, seed))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn(rank_out, F.row_number().over(w))

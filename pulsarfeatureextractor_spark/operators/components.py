@@ -30,7 +30,12 @@ Both are DataFrame-only — no RDDs, no driver-side graph: per round
 the driver sees one scalar (the convergence signal).  Each round's
 state is materialized with ``localCheckpoint`` — the convergence
 action and the next round both reuse it, and the lineage is cut (an
-iterative plan otherwise recomputes the whole chain per action).  At 100 TB the state
+iterative plan otherwise recomputes the whole chain per action).
+Checkpoint blocks from superseded rounds are released by Spark's
+ContextCleaner once the Python reference drops (each round rebinds
+the variable), so peak storage is a small multiple of one round's
+state — bounded, not rounds-linear, though the release is GC-deferred
+rather than eager.  At 100 TB the state
 per round is one (vertex, label) table shuffled on vertex id —
 identical partitioning round to round, so AQE coalesces and the
 shuffle stays the same size as the vertex set, not the edge set.

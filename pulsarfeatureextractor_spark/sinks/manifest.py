@@ -147,6 +147,7 @@ class IcebergLikeTable:
         partition_by: "list[str] | None" = None,
         mode: str = "append",
         metrics: "dict | None" = None,
+        operation: "str | None" = None,
     ) -> dict:
         """Commit ``df`` as a new snapshot; returns the manifest dict.
 
@@ -178,7 +179,7 @@ class IcebergLikeTable:
             "snapshot_id": sid,
             "parent_snapshot_id": ids[-1] if ids else None,
             "committed_at": time.time(),
-            "operation": mode,
+            "operation": operation or mode,
             "partition_spec": partition_by or [],
             "schema": df.schema.jsonValue(),
             "files": files,
@@ -191,11 +192,50 @@ class IcebergLikeTable:
         )
         return manifest
 
+    def _scan_files(
+        self,
+        spark: SparkSession,
+        files: "list[dict]",
+        schema_json: dict,
+        with_file_col: bool = False,
+    ) -> DataFrame:
+        """Union-read a manifest file list, grouped by base dir so Spark
+        re-derives hive partition columns; optionally attach the
+        ``_metadata.file_path`` hidden column (which must be selected
+        directly on each scan — it does not survive a union)."""
+        from pyspark.sql import types as T
+
+        if not files:
+            schema = T.StructType.fromJson(schema_json)
+            if with_file_col:
+                schema = T.StructType(
+                    list(schema.fields) + [T.StructField("__file", T.StringType())]
+                )
+            return spark.createDataFrame([], schema)
+        by_base: dict[str, list[str]] = {}
+        for f in files:
+            by_base.setdefault(f.get("base", ""), []).append(f["path"])
+        df = None
+        for base, paths in sorted(by_base.items()):
+            reader = spark.read
+            if base:
+                reader = reader.option("basePath", base)
+            part = reader.parquet(*paths)
+            if with_file_col:
+                part = part.select(
+                    "*", F.col("_metadata.file_path").alias("__file")
+                )
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+        return df
+
     def merge_upsert(
         self,
         updates: DataFrame,
         keys: "list[str]",
         metrics: "dict | None" = None,
+        broadcast_keys: bool = True,
     ) -> dict:
         """Copy-on-write MERGE by key (Iceberg ``MERGE INTO`` with
         copy-on-write row-level ops): rows whose key matches an
@@ -211,33 +251,24 @@ class IcebergLikeTable:
         sees file PATHS only — O(#files) metadata).  Survivor rows
         (touched files ∖ matched keys) union the updates into a new
         data directory; the manifest lists untouched-prev + new files.
-        Time travel to pre-merge snapshots is unaffected.
+        Time travel to pre-merge snapshots is unaffected.  Schema
+        evolution is tolerated on both sides (unionByName with missing
+        columns null-filled); the new manifest records the merged
+        schema.  ``broadcast_keys=False`` drops the broadcast hints on
+        the key joins (use for update batches too large to broadcast —
+        AQE then picks the join strategy).
         """
         spark = updates.sparkSession
         ids = self.snapshot_ids()
         if not ids:
             return self.write(updates, mode="overwrite", metrics=metrics)
         man = self.manifest(ids[-1])
-        # the _metadata hidden column resolves only directly on a scan —
-        # select it per base dir BEFORE unioning (read() unions first)
-        by_base: dict[str, list[str]] = {}
-        for f in man["files"]:
-            by_base.setdefault(f.get("base", ""), []).append(f["path"])
-        cur = None
-        for base, paths in sorted(by_base.items()):
-            reader = spark.read
-            if base:
-                reader = reader.option("basePath", base)
-            part = reader.parquet(*paths).select(
-                "*", F.col("_metadata.file_path").alias("__file")
-            )
-            cur = part if cur is None else cur.unionByName(
-                part, allowMissingColumns=True
-            )
+        cur = self._scan_files(spark, man["files"], man["schema"], with_file_col=True)
         key_df = updates.select(*keys).dropDuplicates(keys)
+        maybe_b = F.broadcast if broadcast_keys else (lambda d: d)
         touched = {
             r["__file"].removeprefix("file:")
-            for r in cur.join(F.broadcast(key_df), keys, "left_semi")
+            for r in cur.join(maybe_b(key_df), keys, "left_semi")
             .select("__file")
             .distinct()
             .collect()
@@ -250,10 +281,10 @@ class IcebergLikeTable:
                     [f"file:{p}" for p in touched_norm] + touched_norm
                 )
             )
-            .join(F.broadcast(key_df), keys, "left_anti")
+            .join(maybe_b(key_df), keys, "left_anti")
             .drop("__file")
         )
-        new_data = survivors.unionByName(updates)
+        new_data = survivors.unionByName(updates, allowMissingColumns=True)
 
         sid = ids[-1] + 1
         data_dir = os.path.join(self.path, DATA_DIR, f"snap-{uuid.uuid4().hex}")
@@ -268,7 +299,7 @@ class IcebergLikeTable:
             "committed_at": time.time(),
             "operation": "merge",
             "partition_spec": man.get("partition_spec", []),
-            "schema": updates.schema.jsonValue(),
+            "schema": new_data.schema.jsonValue(),
             "files": untouched_prev + new_files,
             "total_rows": sum(f["rows"] for f in untouched_prev + new_files),
             "metrics": {
@@ -302,32 +333,12 @@ class IcebergLikeTable:
         prune for file skipping, where for row-level exactness.
         """
         man = self.manifest(snapshot_id)
-        if not man["files"]:
-            from pyspark.sql import types as T
-
-            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
-        keep = None
+        files = man["files"]
         if prune is not None:
             col, lo, hi = prune
             keep = set(self.prune_files(col, lo, hi, snapshot_id))
-        # group by snapshot base dir: basePath makes Spark re-derive the
-        # hive partition columns each write encoded in dir names
-        by_base: dict[str, list[str]] = {}
-        for f in man["files"]:
-            if keep is not None and f["path"] not in keep:
-                continue
-            by_base.setdefault(f.get("base", ""), []).append(f["path"])
-        if not by_base:
-            from pyspark.sql import types as T
-
-            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
-        df = None
-        for base, paths in sorted(by_base.items()):
-            reader = spark.read
-            if base:
-                reader = reader.option("basePath", base)
-            part = reader.parquet(*paths)
-            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+            files = [f for f in files if f["path"] in keep]
+        df = self._scan_files(spark, files, man["schema"])
         if where is not None:
             df = df.where(where)
         return df
@@ -338,33 +349,42 @@ class IcebergLikeTable:
         from_snapshot: int,
         to_snapshot: "int | None" = None,
     ) -> DataFrame:
-        """Scan ONLY the data files added after ``from_snapshot`` (up to
+        """Scan ONLY the data added after ``from_snapshot`` (up to
         ``to_snapshot``, default latest) — the incremental-processing
         primitive: a feature-backfill job that already processed
         snapshot N re-runs over the manifest DIFF, not the table.
-        File-level append diff (Iceberg incremental append scan);
-        rows removed by overwrite/merge snapshots in the interval are
-        not re-surfaced — files rewritten by a merge DO appear (their
-        content is new).
-        """
-        base = {f["path"] for f in self.manifest(from_snapshot)["files"]}
-        man = self.manifest(to_snapshot)
-        new_files = [f for f in man["files"] if f["path"] not in base]
-        if not new_files:
-            from pyspark.sql import types as T
 
-            return spark.createDataFrame([], T.StructType.fromJson(man["schema"]))
-        by_base: dict[str, list[str]] = {}
-        for f in new_files:
-            by_base.setdefault(f.get("base", ""), []).append(f["path"])
-        df = None
-        for b, paths in sorted(by_base.items()):
-            reader = spark.read
-            if b:
-                reader = reader.option("basePath", b)
-            part = reader.parquet(*paths)
-            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-        return df
+        The snapshot chain is walked per operation (Iceberg incremental
+        append-scan semantics):
+
+        - ``append`` / ``merge`` snapshots contribute their newly-added
+          files (a merge's rewritten files reappear — their content is
+          new — carried files don't);
+        - ``compact`` snapshots contribute NOTHING: they re-layout
+          existing rows into new file paths, so a raw path diff would
+          re-surface the whole table as fresh data;
+        - a semantic ``overwrite`` in the interval raises — there is no
+          meaningful append diff across a table replacement.
+        """
+        ids = self.snapshot_ids()
+        to = ids[-1] if to_snapshot is None else to_snapshot
+        prev_paths = {f["path"] for f in self.manifest(from_snapshot)["files"]}
+        new_files: list[dict] = []
+        for sid in [i for i in ids if from_snapshot < i <= to]:
+            man = self.manifest(sid)
+            op = man.get("operation", "append")
+            if op == "overwrite":
+                raise ValueError(
+                    f"snapshot {sid} is a table overwrite: no incremental "
+                    f"append diff exists across it (restart from {sid})"
+                )
+            if op in ("append", "merge"):
+                new_files.extend(
+                    f for f in man["files"] if f["path"] not in prev_paths
+                )
+            # compact: pure re-layout, content unchanged — skip
+            prev_paths = {f["path"] for f in man["files"]}
+        return self._scan_files(spark, new_files, self.manifest(to)["schema"])
 
     def compact(self, target_file_mb: int = 128) -> dict:
         """Bin-pack small files into ~target-sized ones as a NEW
@@ -380,7 +400,7 @@ class IcebergLikeTable:
         compacted = df.repartition(n_files, *part_cols) if part_cols else \
             df.coalesce(n_files)
         new_man = self.write(compacted, partition_by=part_cols or None,
-                             mode="overwrite",
+                             mode="overwrite", operation="compact",
                              metrics={"compacted_from": len(man["files"])})
         return {"before_files": len(man["files"]),
                 "after_files": len(new_man["files"]),

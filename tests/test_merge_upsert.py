@@ -113,3 +113,41 @@ def test_read_incremental_sees_merge_rewrites(spark):
         (2, "B2"),
         (3, "c"),
     ]
+
+
+def test_read_incremental_skips_compaction(spark):
+    path = tempfile.mkdtemp(prefix="incr_tbl_")
+    tbl = IcebergLikeTable(path)
+    m1 = tbl.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    tbl.write(spark.createDataFrame([(2, "b")], "k long, v string"), mode="append")
+    tbl.compact()  # re-layout only — must contribute nothing
+    got = _rows(tbl.read_incremental(spark, m1["snapshot_id"]))
+    assert got == [(2, "b")]
+
+
+def test_read_incremental_raises_across_overwrite(spark):
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="incr_tbl_")
+    tbl = IcebergLikeTable(path)
+    m1 = tbl.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    tbl.write(
+        spark.createDataFrame([(9, "z")], "k long, v string"), mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        tbl.read_incremental(spark, m1["snapshot_id"])
+
+
+def test_merge_upsert_schema_evolution(spark):
+    path = tempfile.mkdtemp(prefix="merge_tbl_")
+    tbl = IcebergLikeTable(path)
+    tbl.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    tbl.write(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, extra long"),
+        mode="append",
+    )
+    tbl.merge_upsert(
+        spark.createDataFrame([(1, "A1")], "k long, v string"), keys=["k"]
+    )
+    rows = {r["k"]: (r["v"], r["extra"]) for r in tbl.read(spark).collect()}
+    assert rows == {1: ("A1", None), 2: ("b", 7)}
