@@ -123,6 +123,31 @@ class FeatureStore:
         }
         return FeatureFrame(self.spark, t.read(self.spark, snapshot_id), lineage)
 
+    def read_incremental(
+        self,
+        table_path: str,
+        from_snapshot: int,
+        to_snapshot: "int | None" = None,
+    ) -> FeatureFrame:
+        """Incremental backfill entry point: only the data added after
+        ``from_snapshot`` (manifest diff; compactions contribute
+        nothing, overwrites raise — see IcebergLikeTable.read_incremental).
+        Lineage records the snapshot interval."""
+        from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+
+        t = IcebergLikeTable(table_path)
+        to = to_snapshot if to_snapshot is not None else t.snapshot_ids()[-1]
+        lineage = {
+            "snapshot_id": to,
+            "incremental_from": from_snapshot,
+            "partition_spec_in": t.manifest(to).get("partition_spec", []),
+        }
+        return FeatureFrame(
+            self.spark,
+            t.read_incremental(self.spark, from_snapshot, to_snapshot),
+            lineage,
+        )
+
     def read_parquet(self, path: str) -> FeatureFrame:
         return FeatureFrame(self.spark, self.spark.read.parquet(path))
 

@@ -133,3 +133,14 @@ def test_fluent_fused_features(spark):
     assert "tokens" not in out.columns
     assert {"mean", "stdev", "sin_chi2", "sn_ratio"} <= set(out.columns)
     assert out.count() == 100
+
+
+def test_store_read_incremental(spark, table_dir):
+    store = FeatureStore(spark)
+    t = IcebergLikeTable(table_dir)
+    first = t.snapshot_ids()[0]
+    ff = store.read_incremental(table_dir, first)
+    # only the second append (source == src0) is incremental
+    assert ff.df.select("source").distinct().collect()[0]["source"] == "src0"
+    assert ff.lineage["incremental_from"] == first
+    assert ff.df.count() == t.read(spark).where(F.col("source") == "src0").count()
