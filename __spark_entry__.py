@@ -1087,8 +1087,14 @@ def simhash_pairs_docs(spark, sf):
 
 
 def minhash_signatures_docs(spark, sf):
+    """Full 64-perm signature, serialized (driver canon cannot hash
+    array cells); exact VALUES oracle from the independent pure-python
+    XXH64 + universal-hash port (tools/gen_value_oracles.py)."""
     d = load_table(spark, sf, "documents")
-    return minhash_signatures(d, "text", "doc_id", num_perm=64)
+    out = minhash_signatures(d, "text", "doc_id", num_perm=64)
+    return out.select(
+        "doc_id", F.array_join("signature", ",").alias("signature")
+    )
 
 
 def simhash_signatures_docs(spark, sf):

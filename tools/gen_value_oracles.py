@@ -138,6 +138,38 @@ def _minhash_signatures(texts, num_perm=64, shingle_n=3, seed=12345):
     return sigs
 
 
+def gen_minhash_signatures(ids, texts, num_perm=64) -> str:
+    """Full 64-perm signature per doc, serialized comma-joined (the
+    query serializes identically — driver canon cannot hash arrays)."""
+    sigs = _minhash_signatures(texts, num_perm=num_perm)
+    rows = [
+        (str(i), _sql_str(",".join(str(int(x)) for x in sig)))
+        for i, sig in sorted(zip(ids, sigs))
+    ]
+    return _values_sql(rows, [("doc_id", "BIGINT"), ("signature", "VARCHAR")])
+
+
+def _simhash_sig(text, shingle_n=2) -> int:
+    hs = np.array(
+        [xxh64(sh) for sh in _shingles(text.split(" "), shingle_n)],
+        dtype=np.int64,
+    ).view(np.uint64)
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    votes = (2 * bits - 1).sum(axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(((votes > 0).astype(np.uint64) * weights).sum(dtype=np.uint64))
+
+
+def gen_simhash_signatures(ids, texts, shingle_n=2) -> str:
+    rows = [
+        (str(i), str(np.int64(np.uint64(_simhash_sig(t, shingle_n)))))
+        for i, t in sorted(zip(ids, texts))
+    ]
+    return _values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
+
+
 def gen_minhash_pairs(ids, texts, num_perm=64, bands=16, threshold=0.7) -> str:
     sigs = _minhash_signatures(texts, num_perm=num_perm)
     rows_per = num_perm // bands
@@ -166,19 +198,7 @@ def gen_minhash_pairs(ids, texts, num_perm=64, bands=16, threshold=0.7) -> str:
 
 
 def gen_simhash_pairs(ids, texts, max_hamming=3, shingle_n=2) -> str:
-    sigs = []
-    for s in texts:
-        hs = np.array(
-            [xxh64(sh) for sh in _shingles(s.split(" "), shingle_n)],
-            dtype=np.int64,
-        ).view(np.uint64)
-        bits = np.unpackbits(
-            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        sigs.append(int(((votes > 0).astype(np.uint64) * weights).sum(
-            dtype=np.uint64)))
+    sigs = [_simhash_sig(s, shingle_n) for s in texts]
     n_blocks = max_hamming + 1
     buckets: dict = {}
     for i, sig in enumerate(sigs):
@@ -269,6 +289,154 @@ def gen_subband(ids, texts, n_chan=8) -> str:
     return _values_sql(rows, cols)
 
 
+def _synthetic_media_py(n_rows=300, seed=42):
+    """Pure-python twin of functions/multimodal.synthetic_media —
+    IDENTICAL rng call order (choice w, choice h, integers only for
+    video) so the rows match bit-for-bit."""
+    import hashlib
+
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        w = int(rng.choice([8, 16, 32]))
+        h = int(rng.choice([8, 16]))
+        frames = int(rng.integers(2, 6)) if kind == "video" else 1
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (
+            (w * h * frames) // 32 + 1
+        )
+        payload = payload[: w * h * frames]
+        out.append((f"m_{i:06d}", kind, payload, w, h, frames))
+    return out
+
+
+def gen_media_stats(n_rows=300, seed=42) -> str:
+    media = _synthetic_media_py(n_rows, seed)
+    agg = {}
+    for mid, kind, payload, w, h, frames in media:
+        n, tot, asps = agg.get(kind, (0, 0, []))
+        agg[kind] = (n + 1, tot + len(payload), asps + [w / h])
+    rows = []
+    for kind in sorted(agg):
+        n, tot, asps = agg[kind]
+        # aspects are powers of two -> float sums exact in any order
+        rows.append((_sql_str(kind), str(n), str(tot),
+                     repr(spark_round6(sum(asps) / n))))
+    return _values_sql(rows, [("kind", "VARCHAR"), ("n_media", "BIGINT"),
+                              ("total_bytes", "BIGINT"),
+                              ("avg_aspect", "DOUBLE")])
+
+
+def gen_media_frames(n_rows=300, seed=42, every_k=2) -> str:
+    rows = []
+    for mid, kind, payload, w, h, frames in _synthetic_media_py(n_rows, seed):
+        if kind != "video":
+            continue
+        sampled = [j for j in range(frames) if j % every_k == 0]
+        rows.append((_sql_str(mid), str(len(sampled)),
+                     str(len(sampled) * w * h)))
+    rows.sort()
+    return _values_sql(rows, [("media_id", "VARCHAR"),
+                              ("n_frames_sampled", "BIGINT"),
+                              ("sampled_bytes", "BIGINT")])
+
+
+def _load_embeddings():
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64)
+            for v in t.column("embedding").to_pylist()]
+    return ids, vecs
+
+
+def _seq_cosine(a, b) -> float:
+    """Sequential double fold — replicates _cosine_expr's F.aggregate
+    order exactly (acc + v left-to-right, IEEE double)."""
+    import math
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    na, nb = math.sqrt(na), math.sqrt(nb)
+    return acc / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def _rp_buckets(vecs, n_bits, n_tables, seed):
+    """Mirror of similarity._bucket_udf: same rng stream, same gemm
+    shape (sf0.01 fits one Arrow batch), same bit packing."""
+    mat = np.vstack(vecs)
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, n_bits, mat.shape[1]))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    keys = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        proj = mat @ planes[t].T
+        bits = (proj > 0).astype(np.int64)
+        keys[:, t] = bits @ weights + (t << 48)
+    return keys
+
+
+def gen_embedding_neardup_lsh(threshold=0.45, n_bits=6, n_tables=12,
+                              seed=555) -> str:
+    ids, vecs = _load_embeddings()
+    keys = _rp_buckets(vecs, n_bits, n_tables, seed)
+    buckets: dict = {}
+    for i in range(len(ids)):
+        for key in keys[i]:
+            buckets.setdefault(int(key), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                ia, ib = (i, j) if ids[i] < ids[j] else (j, i)
+                cand.add((ia, ib))
+    out = []
+    for i, j in sorted(cand):
+        cos = _seq_cosine(vecs[i], vecs[j])
+        if cos >= threshold:
+            out.append((str(ids[i]), str(ids[j]),
+                        repr(spark_round6(cos))))
+    out.sort()
+    return _values_sql(out, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+                             ("cosine", "DOUBLE")])
+
+
+def gen_ann_lsh_topk(k=5, n_bits=10, n_tables=6, seed=777) -> str:
+    ids, vecs = _load_embeddings()
+    keys = _rp_buckets(vecs, n_bits, n_tables, seed)
+    by_id = {ids[i]: i for i in range(len(ids))}
+    q_ids = sorted(i for i in ids if i < 10)
+    bucket_members: dict = {}
+    for i in range(len(ids)):
+        for key in keys[i]:
+            bucket_members.setdefault(int(key), []).append(i)
+    rows = []
+    for qid in q_ids:
+        qi = by_id[qid]
+        cand = set()
+        for key in keys[qi]:
+            cand.update(bucket_members[int(key)])
+        cand.discard(qi)
+        scored = sorted(
+            ((_seq_cosine(vecs[c], vecs[qi]), ids[c]) for c in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, cid) in enumerate(scored[:k], start=1):
+            rows.append((str(qid), str(cid), repr(spark_round6(cos)),
+                         str(rank)))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("vec_id", "BIGINT"),
+                              ("cosine", "DOUBLE"), ("rank", "BIGINT")])
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -277,6 +445,12 @@ def main() -> None:
         "minhash_lsh_pairs_docs": gen_minhash_pairs(ids, texts),
         "simhash_pairs_docs": gen_simhash_pairs(ids, texts),
         "vocab_tokenize_docs": gen_vocab_hash(ids, texts),
+        "minhash_signatures_docs": gen_minhash_signatures(ids, texts),
+        "simhash_signatures_docs": gen_simhash_signatures(ids, texts),
+        "media_stats_summary": gen_media_stats(),
+        "media_frame_samples": gen_media_frames(),
+        "embedding_neardup_lsh": gen_embedding_neardup_lsh(),
+        "ann_lsh_topk_docs": gen_ann_lsh_topk(),
         "fingerprint_docs": gen_fingerprint(ids, texts),
     }
     with open(OUT, "w") as f:
