@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Training-corpus curation job (spark-submit entry point).
+
+The curation twin of jobs/extract_features.py — the deployable form of
+the `pipeline_curation_docs` driver query:
+
+    spark-submit --py-files engine.zip jobs/curate_corpus.py \
+        --input /path/to/documents.parquet --output /path/to/curated \
+        --min-tokens 20 --max-rep2 0.9 --pair-source minhash \
+        --split-weights train:0.9,val:0.05,test:0.05 --seed v1
+
+Pipeline: scan -> length + repetition quality filters -> near-dup
+pairs (MinHash-LSH at scale, exact n-gram Jaccard for small corpora)
+-> connected-component group resolution -> canonical-keep ->
+deterministic hash split -> resumable partitioned write (partitioned
+by split) carrying lineage + per-stage survivor counts as metrics.
+
+Everything is master-agnostic; resumability and lineage come from the
+same partitioned sink the feature job uses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_weights(spec: str):
+    out = []
+    for part in spec.split(","):
+        name, _, w = part.partition(":")
+        out.append((name.strip(), float(w)))
+    return out
+
+
+def build_pipeline(spark, args):
+    from pyspark.sql import functions as F
+
+    from pulsarfeatureextractor_spark.functions.splits import hash_split
+    from pulsarfeatureextractor_spark.functions.text import with_repetition_metrics
+    from pulsarfeatureextractor_spark.operators.components import dedup_groups
+    from pulsarfeatureextractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    filt = docs.where(
+        F.size(F.split(F.col(args.text_col), " ")) >= args.min_tokens
+    )
+    if args.max_rep2 < 1.0:
+        filt = with_repetition_metrics(
+            filt, args.text_col, id_col=args.id_col
+        ).where(F.col("rep_2") <= args.max_rep2).drop("rep_1", "rep_2", "rep_3")
+    # the pair graph and the split both consume the filtered set twice —
+    # materialize once (iterative CC would otherwise recompute the
+    # filter chain every round)
+    filt = filt.localCheckpoint(eager=True)
+    n_filtered = filt.count()
+
+    if args.pair_source == "minhash":
+        pairs = minhash_lsh_pairs(
+            filt, args.text_col, args.id_col, threshold=args.dup_threshold
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            filt, args.text_col, args.id_col, threshold=args.dup_threshold
+        )
+    groups = dedup_groups(filt, pairs, args.id_col)
+    kept = filt.join(
+        groups.where(F.col("group_id") == F.col(args.id_col)).select(
+            args.id_col, "group_size"
+        ),
+        args.id_col,
+    )
+    out = hash_split(
+        kept,
+        args.id_col,
+        weights=parse_weights(args.split_weights),
+        seed=args.seed,
+        hasher=args.hasher,
+    )
+    n_kept = out.count()
+    lineage = {
+        "input": args.input,
+        "pair_source": args.pair_source,
+        "seed": args.seed,
+        "metrics": {
+            "docs_in": n_in,
+            "docs_after_quality": n_filtered,
+            "docs_canonical": n_kept,
+            "dropped_quality": n_in - n_filtered,
+            "dropped_dup": n_filtered - n_kept,
+        },
+    }
+    return out, lineage
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--max-rep2", type=float, default=1.0,
+                    help="drop docs whose top-bigram count mass exceeds this")
+    ap.add_argument("--pair-source", default="minhash",
+                    choices=["minhash", "ngram"],
+                    help="near-dup candidate source (minhash = scale path)")
+    ap.add_argument("--dup-threshold", type=float, default=0.7)
+    ap.add_argument("--split-weights", default="train:0.9,val:0.05,test:0.05")
+    ap.add_argument("--hasher", default="xxhash", choices=["xxhash", "md5"])
+    ap.add_argument("--seed", default="v1")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pulsarfeatureextractor_spark.session import get_spark
+    from pulsarfeatureextractor_spark.sinks.partitioned import run_partitioned_job
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="curate_corpus", master=args.master)
+    try:
+        df, lineage = build_pipeline(spark, args)
+        result = run_partitioned_job(
+            df,
+            args.output,
+            ["split"],
+            checkpoint_path=args.checkpoint,
+            lineage=lineage,
+        )
+        print(json.dumps({
+            "status": "ok",
+            "metrics": lineage["metrics"],
+            **{k: len(v) for k, v in result.items()},
+        }))
+        return result
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,30 @@ def test_job_via_spark_submit(table_dir, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert '"status": "ok"' in proc.stdout
     assert os.path.isdir(out)
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "curated")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20", "--split-weights", "train:0.8,val:0.1,test:0.1",
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    cols = set(cur.columns)
+    assert {"doc_id", "text", "group_size", "split"} <= cols
+    # canonical-keep: every doc appears once, splits partition the output
+    assert cur.select("doc_id").distinct().count() == cur.count()
+    splits = {r["split"] for r in cur.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # lineage sidecar carries the per-stage survivor metrics
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    m = side["metrics"]
+    assert m["docs_in"] >= m["docs_after_quality"] >= m["docs_canonical"] > 0
+    assert m["dropped_dup"] > 0  # the fixtures plant near-dups
