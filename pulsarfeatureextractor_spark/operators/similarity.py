@@ -137,14 +137,20 @@ def ivf_topk(
     """
     import pyspark.sql.functions as SF
 
-    hashed = corpus.select(F.col(vec_col)).withColumn(
+    # deterministic pseudo-random sample keyed on the ID (not on the
+    # Java string rendering of the vector — an id hash is just as
+    # uniform, skips the array→string cast, and is replicable by the
+    # pure-python XXH64 oracle port).  Seed folded INTO the string:
+    # a second xxhash64 argument is a hash-chain link, not a seed.
+    hashed = corpus.select(F.col(vec_col), F.col(id_col)).withColumn(
         "__h",
         F.pmod(
-            F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"),
-                       F.lit(seed)),
+            F.xxhash64(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
+            ),
             F.lit(1 << 31),
         ),
-    ).orderBy("__h")
+    ).orderBy("__h").drop(id_col)
     train = hashed.limit(max(n_centroids, min(train_sample, n_centroids * 256)))
     rows = train.collect()
     X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])

@@ -437,6 +437,54 @@ def gen_ann_lsh_topk(k=5, n_bits=10, n_tables=6, seed=777) -> str:
                               ("cosine", "DOUBLE"), ("rank", "BIGINT")])
 
 
+def gen_ann_ivf_topk(k=5, n_centroids=16, n_probe=6, seed=31,
+                     lloyd_iters=5, train_sample=20_000) -> str:
+    """Pure-python twin of operators/similarity.ivf_topk for the driver
+    query's parameters: identical hash-ordered sample, identical numpy
+    Lloyd arithmetic (the engine trains DRIVER-side with this exact
+    code path), one-Arrow-batch assignment at sf0.01 so gemm shapes
+    match, sequential-fold cosine."""
+    ids, vecs = _load_embeddings()
+    h = {i: xxh64(f"{ids[i]}|{seed}") % (1 << 31) for i in range(len(ids))}
+    order = sorted(range(len(ids)), key=lambda i: h[i])
+    sample_n = max(n_centroids, min(train_sample, n_centroids * 256))
+    X = np.vstack([vecs[i] for i in order[:sample_n]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    mat = np.vstack(vecs)
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = matn @ C.T
+    corpus_cell = np.argsort(-sims, axis=1)[:, :1][:, 0]
+    probe_cells = np.argsort(-sims, axis=1)[:, :n_probe]
+    members_by_cell: dict = {}
+    for i in range(len(ids)):
+        members_by_cell.setdefault(int(corpus_cell[i]), []).append(i)
+    rows = []
+    for qi in sorted(range(len(ids)), key=lambda i: ids[i]):
+        if ids[qi] >= 10:
+            continue
+        cand = set()
+        for cell in probe_cells[qi]:
+            cand.update(members_by_cell.get(int(cell), []))
+        cand.discard(qi)
+        scored = sorted(
+            ((_seq_cosine(vecs[c], vecs[qi]), ids[c]) for c in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, cid) in enumerate(scored[:k], start=1):
+            rows.append((str(ids[qi]), str(cid), repr(spark_round6(cos)),
+                         str(rank)))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("vec_id", "BIGINT"),
+                              ("cosine", "DOUBLE"), ("rank", "BIGINT")])
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -451,6 +499,7 @@ def main() -> None:
         "media_frame_samples": gen_media_frames(),
         "embedding_neardup_lsh": gen_embedding_neardup_lsh(),
         "ann_lsh_topk_docs": gen_ann_lsh_topk(),
+        "ann_ivf_topk": gen_ann_ivf_topk(),
         "fingerprint_docs": gen_fingerprint(ids, texts),
     }
     with open(OUT, "w") as f:
