@@ -243,3 +243,40 @@ def streaming_minhash_signatures(
     from pulsarfeatureextractor_spark.operators.dedup import minhash_signatures
 
     return minhash_signatures(stream, text_col, id_col, num_perm=num_perm)
+
+
+def stream_snapshot_table(
+    spark: SparkSession,
+    table_path: str,
+    schema: T.StructType,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """Streaming tail of an IcebergLikeTable's data files (X1 over the
+    lakehouse sink): every snapshot commit writes an immutable
+    ``data/snap-<uuid>/`` directory, so a recursive file stream over
+    ``data/`` sees exactly the committed files, append-ordered — the
+    streaming counterpart of ``IcebergLikeTable.read_incremental``.
+
+    Semantics notes (and why this is honest without a transaction log):
+    - a data dir becomes visible to readers only AFTER its manifest
+      commit on the batch side, but the file stream keys on file
+      arrival; since data files are written before the manifest, a
+      crash between the two could stream an orphan dir that no
+      manifest references — acceptable for at-least-once mirrors,
+      NOT for exactly-the-committed-table semantics (a real Iceberg
+      streaming source reads the snapshot log instead; this mirrors
+      the gap documented in sinks/manifest.py);
+    - compaction/overwrite snapshots REWRITE rows into new files: the
+      stream re-surfaces them (file streams cannot distinguish
+      re-layout from append — the batch read_incremental can, which
+      is why it walks manifests).  Tail only append/merge tables.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    import os
+
+    return reader.parquet(os.path.join(table_path, "data"))

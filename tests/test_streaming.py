@@ -172,3 +172,35 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
     assert all(
         list(a) == list(b) for a, b in zip(got["signature"], want["signature"])
     )
+
+
+def test_stream_snapshot_table_matches_batch(spark, tmp_path):
+    """Streaming tail of the snapshot table == full batch read after
+    availableNow replay (append-only table)."""
+    from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
+    from pulsarfeatureextractor_spark.streaming.mirror import stream_snapshot_table
+    from pyspark.sql import types as T
+
+    tbl = IcebergLikeTable(str(tmp_path / "tbl"))
+    tbl.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    tbl.write(
+        spark.createDataFrame([(3, "c")], "k long, v string"), mode="append"
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    stream = stream_snapshot_table(spark, tbl.path, schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_snap_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.table("t_snap_tail").collect()
+    )
+    want = sorted((r["k"], r["v"]) for r in tbl.read(spark).collect())
+    assert got == want == [(1, "a"), (2, "b"), (3, "c")]
