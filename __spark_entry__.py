@@ -881,6 +881,35 @@ def pipeline_curation_docs(spark, sf):
     )
 
 
+def chunk_documents_docs(spark, sf):
+    """Sliding-window chunking (64-token chunks, 16 overlap) — the
+    embedding/training prep staple; all JVM, fused into the scan."""
+    from pulsarfeatureextractor_spark.functions.text import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+def redact_pii_docs(spark, sf):
+    """PII redaction over text with deterministically planted PII (the
+    fixtures contain none): docs with doc_id % 7 == 0 get an email and
+    an IPv4 appended before redaction; the oracle plants and redacts
+    identically (Java regex ∩ RE2 pattern subset)."""
+    from pulsarfeatureextractor_spark.functions.text import redact_pii
+
+    d = load_table(spark, sf, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact sam@example.org at 10.1.2.3")),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted, "text").select(
+        "doc_id", "n_email", "n_ipv4", "text_redacted"
+    )
+
+
 def repetition_metrics_docs(spark, sf):
     """Gopher-style repetition quality filters: top n-gram count mass
     per doc for n=1..3 (functions/text.with_repetition_metrics)."""
@@ -1511,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric_docs": profile_numeric_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "repetition_metrics_docs": repetition_metrics_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "redact_pii_docs": redact_pii_docs,
         "pipeline_curation_docs": pipeline_curation_docs,
         "merge_upsert_docs": merge_upsert_docs,
         "incremental_backfill_docs": incremental_backfill_docs,
@@ -2316,6 +2347,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM grouped WHERE group_id = doc_id
         """.replace("{b}", _MD5_BUCKET_SQL),
+        "chunk_documents_docs": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), n AS (
+                SELECT doc_id, w,
+                       GREATEST(CAST(ceil((len(w) - 64) / 48.0) AS INT) + 1, 1)
+                           AS nc
+                FROM ws
+            ), c AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(0, nc), i -> struct_pack(
+                           chunk_id := i,
+                           chunk_text := array_to_string(
+                               w[i*48+1:i*48+64], ' '),
+                           chunk_len := len(w[i*48+1:i*48+64])))) AS s
+                FROM n
+            )
+            SELECT doc_id,
+                   CAST(s.chunk_id AS INT) AS chunk_id,
+                   s.chunk_text AS chunk_text,
+                   CAST(s.chunk_len AS INT) AS chunk_len
+            FROM c
+        """,
+        "redact_pii_docs": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact sam@example.org at 10.1.2.3'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS INT) AS n_ipv4,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<PII>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<PII>', 'g') AS text_redacted
+            FROM planted
+        """,
         "repetition_metrics_docs": """
             WITH ws AS (
                 SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -162,3 +162,77 @@ def with_repetition_metrics(
         ]
     )
     return df.join(wide, id_col, "left")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking for embedding/training prep: one output
+    row per chunk of ``chunk_tokens`` whitespace tokens, consecutive
+    chunks overlapping by ``overlap``.
+
+    n_chunks = 1 if L <= chunk_tokens else ceil((L-chunk)/stride)+1 —
+    the last chunk is the clamped tail, so every token appears in at
+    least one chunk.  All JVM (split + sequence + slice + explode):
+    chunking fuses into the scan stage, no shuffle, no Python."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = words_col(text_col)
+    n_chunks = F.greatest(
+        (F.ceil((F.size(w) - F.lit(chunk_tokens)) / F.lit(stride)) + 1).cast("int"),
+        F.lit(1),
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(w, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(w, i * stride + 1, chunk_tokens)).alias("chunk_len"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_len").alias("chunk_len"),
+        )
+    )
+
+
+# simple public-pattern PII classes; both regexes are valid in Java
+# regex (Spark) and RE2 (DuckDB) with identical semantics
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: "dict[str, str] | None" = None,
+    token: str = "<PII>",
+) -> DataFrame:
+    """Redact PII-shaped substrings (emails, IPv4 by default) and count
+    hits per class.  Pure JVM regexp_replace/regexp_count — fuses into
+    the scan; patterns are engine-portable (Java regex ∩ RE2)."""
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    out = df
+    for name, pat in sorted(pats.items()):
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("int")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(out_col, red)

@@ -76,3 +76,48 @@ def test_repetition_metrics_hand_computed(spark):
     assert got[2] == (0.5, 0.666667, 0.5)
     # single word: every n-gram tier degenerates to the word itself
     assert got[3] == (1.0, 1.0, 1.0)
+
+
+def test_chunk_documents_sliding_window(spark):
+    from pulsarfeatureextractor_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_len"]) for r in rows}
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert got[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert got[(2, 0)] == ("a b", 2)
+    assert len(got) == 5
+    # every token appears in at least one chunk
+    covered = set()
+    for (d, _), (txt, _) in got.items():
+        if d == 1:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from pulsarfeatureextractor_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    from pulsarfeatureextractor_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or 10.0.0.1 now"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["text_redacted"] == "mail <PII> or <PII> now"
+    assert rows[2]["n_email"] == 0 and rows[2]["text_redacted"] == "clean text"
