@@ -1519,7 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": langid_docs,
         "lyon_features_docs": lyon_features_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
-        "width_features_docs": width_features_docs,
+        "pipeline_curation_docs": pipeline_curation_docs,
         "lyon8_two_curve_docs": lyon8_two_curve_docs,
         "label_attach_docs": label_attach_docs,
         "thornton_scores_docs": thornton_scores_docs,
@@ -1536,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": orders_above_customer_avg,
         "raw_bins_passthrough": raw_bins_passthrough,
         "stratified_sample_docs": stratified_sample_docs,
+        "width_features_docs": width_features_docs,
         "tfidf_topk_docs": tfidf_topk_docs,
         "profile_numeric_docs": profile_numeric_docs,
         "pack_sequences_docs": pack_sequences_docs,
