@@ -1543,7 +1543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics_docs": repetition_metrics_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "redact_pii_docs": redact_pii_docs,
-        "pipeline_curation_docs": pipeline_curation_docs,
         "merge_upsert_docs": merge_upsert_docs,
         "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,

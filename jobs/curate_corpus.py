@@ -41,7 +41,10 @@ def build_pipeline(spark, args):
     from pyspark.sql import functions as F
 
     from pulsarfeatureextractor_spark.functions.splits import hash_split
-    from pulsarfeatureextractor_spark.functions.text import with_repetition_metrics
+    from pulsarfeatureextractor_spark.functions.text import (
+        with_repetition_metrics,
+        words_col,
+    )
     from pulsarfeatureextractor_spark.operators.components import dedup_groups
     from pulsarfeatureextractor_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -51,9 +54,7 @@ def build_pipeline(spark, args):
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    filt = docs.where(
-        F.size(F.split(F.col(args.text_col), " ")) >= args.min_tokens
-    )
+    filt = docs.where(F.size(words_col(args.text_col)) >= args.min_tokens)
     if args.max_rep2 < 1.0:
         filt = with_repetition_metrics(
             filt, args.text_col, id_col=args.id_col
@@ -79,13 +80,16 @@ def build_pipeline(spark, args):
         ),
         args.id_col,
     )
+    # materialize the final frame: n_kept below, the sink's partition-key
+    # collect, and the write would otherwise each recompute the dedup
+    # join + split chain
     out = hash_split(
         kept,
         args.id_col,
         weights=parse_weights(args.split_weights),
         seed=args.seed,
         hasher=args.hasher,
-    )
+    ).localCheckpoint(eager=True)
     n_kept = out.count()
     lineage = {
         "input": args.input,

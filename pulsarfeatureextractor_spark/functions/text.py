@@ -227,7 +227,7 @@ def redact_pii(
     """Redact PII-shaped substrings (emails, IPv4 by default) and count
     hits per class.  Pure JVM regexp_replace/regexp_count — fuses into
     the scan; patterns are engine-portable (Java regex ∩ RE2)."""
-    pats = patterns or PII_PATTERNS
+    pats = patterns if patterns is not None else PII_PATTERNS
     red = F.col(text_col)
     out = df
     for name, pat in sorted(pats.items()):

@@ -136,11 +136,17 @@ class FeatureStore:
         from pulsarfeatureextractor_spark.sinks.manifest import IcebergLikeTable
 
         t = IcebergLikeTable(table_path)
-        to = to_snapshot if to_snapshot is not None else t.snapshot_ids()[-1]
+        if to_snapshot is None:
+            ids = t.snapshot_ids()
+            if not ids:
+                raise FileNotFoundError(f"no snapshots under {table_path}")
+            to_snapshot = ids[-1]
         lineage = {
-            "snapshot_id": to,
+            "snapshot_id": to_snapshot,
             "incremental_from": from_snapshot,
-            "partition_spec_in": t.manifest(to).get("partition_spec", []),
+            "partition_spec_in": t.manifest(to_snapshot).get(
+                "partition_spec", []
+            ),
         }
         return FeatureFrame(
             self.spark,

@@ -269,14 +269,32 @@ def stream_snapshot_table(
     - compaction/overwrite snapshots REWRITE rows into new files: the
       stream re-surfaces them (file streams cannot distinguish
       re-layout from append — the batch read_incremental can, which
-      is why it walks manifests).  Tail only append/merge tables.
+      is why it walks manifests).  Tail only append/merge tables;
+    - PARTITIONED tables are rejected: recursiveFileLookup disables
+      hive partition-dir inference, and the partition values live only
+      in the dir names (manifest.py writes via partitionBy) — tailing
+      one would silently yield NULL partition columns.
     """
+    import os
+
+    from pulsarfeatureextractor_spark.sinks.manifest import (
+        DATA_DIR,
+        IcebergLikeTable,
+    )
+
+    tbl = IcebergLikeTable(table_path)
+    if tbl.snapshot_ids():
+        spec = tbl.manifest().get("partition_spec") or []
+        if spec:
+            raise ValueError(
+                f"stream_snapshot_table cannot tail a partitioned table "
+                f"(partition_spec={spec}): partition values live in dir "
+                f"names the file stream does not decode"
+            )
     reader = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    import os
-
-    return reader.parquet(os.path.join(table_path, "data"))
+    return reader.parquet(os.path.join(table_path, DATA_DIR))

@@ -163,8 +163,12 @@ def _simhash_sig(text, shingle_n=2) -> int:
 
 
 def gen_simhash_signatures(ids, texts, shingle_n=2) -> str:
+    def _signed64(x: int) -> int:
+        # numpy 2.x raises on out-of-range uint64->int64; do it portably
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     rows = [
-        (str(i), str(np.int64(np.uint64(_simhash_sig(t, shingle_n)))))
+        (str(i), str(_signed64(_simhash_sig(t, shingle_n))))
         for i, t in sorted(zip(ids, texts))
     ]
     return _values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
