@@ -910,6 +910,20 @@ def redact_pii_docs(spark, sf):
     )
 
 
+def dedup_against_docs(spark, sf):
+    """Cross-corpus exact dedup: treat docs 0-249 as the already-ingested
+    corpus, 250+ as the new crawl; survivors = new docs whose text does
+    not already exist verbatim in the corpus."""
+    from pulsarfeatureextractor_spark.operators.dedup import dedup_against
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") < 250)
+    crawl = d.where(F.col("doc_id") >= 250)
+    return dedup_against(crawl, corpus, "text", ref_col="text").select(
+        "doc_id", "n_chars"
+    )
+
+
 def repetition_metrics_docs(spark, sf):
     """Gopher-style repetition quality filters: top n-gram count mass
     per doc for n=1..3 (functions/text.with_repetition_metrics)."""
@@ -1543,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics_docs": repetition_metrics_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "redact_pii_docs": redact_pii_docs,
+        "dedup_against_docs": dedup_against_docs,
         "merge_upsert_docs": merge_upsert_docs,
         "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,
@@ -2347,6 +2362,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM grouped WHERE group_id = doc_id
         """.replace("{b}", _MD5_BUCKET_SQL),
+        "dedup_against_docs": """
+            SELECT n.doc_id, n.n_chars
+            FROM documents n
+            WHERE n.doc_id >= 250
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents c
+                  WHERE c.doc_id < 250 AND md5(c.text) = md5(n.text)
+              )
+        """,
         "chunk_documents_docs": """
             WITH ws AS (
                 SELECT doc_id, string_split(text, ' ') AS w FROM documents

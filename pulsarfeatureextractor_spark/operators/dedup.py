@@ -44,6 +44,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_col: "str | None" = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop rows whose text digest already
+    exists in `reference` — the incremental-crawl primitive (new crawl
+    vs the already-ingested corpus).
+
+    `reference` is either a digest table (a `digest` column, e.g.
+    exact_dedup output) or raw text (pass ref_col).  One left-anti
+    shuffle join on the 16-byte digest; at 100 TB the reference digest
+    set is the big side — pre-bucket it by digest (or feed Spark's
+    runtime bloom-filter join) so only the new crawl re-shuffles.
+    """
+    if ref_col is not None:
+        ref = reference.select(F.md5(F.col(ref_col)).alias("digest"))
+    elif "digest" in reference.columns:
+        ref = reference.select("digest")
+    else:
+        raise ValueError("reference needs a 'digest' column or ref_col=")
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .join(
+            ref.withColumnRenamed("digest", "__digest").dropDuplicates(),
+            "__digest",
+            "left_anti",
+        )
+        .drop("__digest")
+    )
+
+
 def shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (JVM: split + transform + slice)."""
     words = F.split(F.col(text_col), " ")

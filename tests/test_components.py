@@ -125,3 +125,23 @@ def test_dedup_groups_over_minhash_pairs_production_path(spark, sf_correct):
     # docs never paired are their own singleton group
     paired = set(want)
     assert all(g == d for d, g in gid.items() if d not in paired)
+
+
+def test_dedup_against_drops_known_texts(spark):
+    from pulsarfeatureextractor_spark.operators.dedup import dedup_against, exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "known text one"), (2, "known text two")], "doc_id long, text string"
+    )
+    crawl = spark.createDataFrame(
+        [(10, "known text one"), (11, "fresh text")], "doc_id long, text string"
+    )
+    # raw-text reference
+    got = {r["doc_id"] for r in dedup_against(crawl, corpus, ref_col="text").collect()}
+    assert got == {11}
+    # digest-table reference (exact_dedup output)
+    got2 = {
+        r["doc_id"]
+        for r in dedup_against(crawl, exact_dedup(corpus)).collect()
+    }
+    assert got2 == {11}
