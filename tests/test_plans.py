@@ -186,3 +186,17 @@ def test_contamination_single_shingle_shuffle_no_python(spark):
     plan = _plan(contamination_ratio(train, ev))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_and_redact_fuse_into_scan(spark):
+    """Chunking and PII redaction are row-local: no exchange, no Python."""
+    from pulsarfeatureextractor_spark.functions.text import (
+        chunk_documents,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    for out in (chunk_documents(df, chunk_tokens=4, overlap=2), redact_pii(df)):
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
