@@ -924,6 +924,42 @@ def dedup_against_docs(spark, sf):
     )
 
 
+def training_set_assembly_docs(spark, sf):
+    """North-star synthesis: point-in-time features + leakage-free
+    AS-OF label attach + deterministic split — the full training-set
+    assembly in one plan.  The label history carries a DECOY: a
+    flipped label observed 1h AFTER event_time; the as-of must pick
+    the earlier true label (zero temporal leakage), which the oracle's
+    DuckDB ASOF certifies."""
+    from pulsarfeatureextractor_spark.functions.splits import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    seqs = with_event_time(documents_to_sequences(docs), mode="portable")
+    feats = with_lyon_features(seqs)
+    base = feats.select("doc_id", "event_time", "n_tok")
+    lab_true = base.select(
+        "doc_id",
+        (F.col("event_time")
+         - F.make_interval(secs=F.col("n_tok").cast("double"))).alias("label_time"),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(2)).cast("int").alias("label"),
+    )
+    lab_decoy = base.select(
+        "doc_id",
+        (F.col("event_time") + F.make_interval(secs=F.lit(3600.0))).alias("label_time"),
+        (1 - F.pmod(F.col("doc_id").cast("long"), F.lit(2))).cast("int").alias("label"),
+    )
+    labels = lab_true.union(lab_decoy)
+    joined = asof_join(
+        feats, labels, on="event_time", right_on="label_time", by="doc_id",
+        value_cols=["label"], strategy="window",
+    )
+    return hash_split(joined, "doc_id", seed="sf", hasher="md5").select(
+        "doc_id", "event_time",
+        F.round("mean", 6).alias("mean"),
+        "label", "split",
+    )
+
+
 def repetition_metrics_docs(spark, sf):
     """Gopher-style repetition quality filters: top n-gram count mass
     per doc for n=1..3 (functions/text.with_repetition_metrics)."""
@@ -1558,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_docs": chunk_documents_docs,
         "redact_pii_docs": redact_pii_docs,
         "dedup_against_docs": dedup_against_docs,
+        "training_set_assembly_docs": training_set_assembly_docs,
         "merge_upsert_docs": merge_upsert_docs,
         "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,
@@ -2362,6 +2399,60 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM grouped WHERE group_id = doc_id
         """.replace("{b}", _MD5_BUCKET_SQL),
+        "training_set_assembly_docs": """
+
+            WITH seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                       list_transform(string_split(text, ' '),
+                                      w -> CAST(length(w) % 256 AS INT)) AS tokens,
+                       CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                       make_timestamp((1704067200 +
+                           (CAST(doc_id AS BIGINT) * 2654435761) % 2592000) * 1000000) AS event_time
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM seq
+            ), s AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       CAST(SUM(v) AS DOUBLE) AS s1,
+                       CAST(SUM(v*v) AS DOUBLE) AS s2,
+                       CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                       CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                FROM tok GROUP BY doc_id
+            ), c AS (
+                SELECT doc_id, n, s1/n AS mu,
+                       greatest(s2/n - (s1/n)*(s1/n), 0.0) AS m2,
+                       s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3c,
+                       s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4c
+                FROM s
+            ), stats AS (
+                SELECT seq.doc_id, seq.source, seq.event_time, seq.n_tok,
+                       c.mu AS mean_raw,
+                       CASE WHEN c.n >= 2 THEN sqrt(c.m2 * c.n / (c.n - 1)) ELSE 0.0 END AS stdev_raw,
+                       CASE WHEN c.m2 > 0
+                            THEN c.m3c / (c.m2 ^ 1.5) ELSE 0.0 END AS skew_raw,
+                       CASE WHEN c.m2 > 0
+                            THEN c.m4c / (c.m2 * c.m2) - 3.0 ELSE 0.0 END AS kurt_raw
+                FROM seq JOIN c ON seq.doc_id = c.doc_id
+            ), labs AS (
+                SELECT doc_id, event_time - to_seconds(n_tok) AS label_time,
+                       CAST(CAST(doc_id AS BIGINT) % 2 AS INT) AS label
+                FROM stats
+                UNION ALL
+                SELECT doc_id, event_time + to_seconds(3600) AS label_time,
+                       CAST(1 - CAST(doc_id AS BIGINT) % 2 AS INT) AS label
+                FROM stats
+            )
+            SELECT f.doc_id, f.event_time,
+                   ROUND(f.mean_raw, 6) AS mean,
+                   l.label,
+                   CASE WHEN {b} < 3277 THEN 'train'
+                        WHEN {b} < 3686 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM stats f
+            ASOF LEFT JOIN labs l
+              ON f.doc_id = l.doc_id AND f.event_time >= l.label_time
+        """.replace("{b}", _MD5_BUCKET_SQL.replace("doc_id", "f.doc_id")),
         "dedup_against_docs": """
             SELECT n.doc_id, n.n_chars
             FROM documents n
