@@ -2023,14 +2023,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT doc_id,
-                   ROUND(MAX(CASE WHEN kind = 'profile' THEN mu END), 6) AS mean_prof,
-                   ROUND(MAX(CASE WHEN kind = 'profile' THEN sd END), 6) AS stdev_prof,
-                   ROUND(MAX(CASE WHEN kind = 'profile' THEN sk END), 6) AS skew_prof,
-                   ROUND(MAX(CASE WHEN kind = 'profile' THEN ku END), 6) AS kurt_prof,
-                   ROUND(MAX(CASE WHEN kind = 'dm' THEN mu END), 6) AS mean_dm,
-                   ROUND(MAX(CASE WHEN kind = 'dm' THEN sd END), 6) AS stdev_dm,
-                   ROUND(MAX(CASE WHEN kind = 'dm' THEN sk END), 6) AS skew_dm,
-                   ROUND(MAX(CASE WHEN kind = 'dm' THEN ku END), 6) AS kurt_dm
+                   -- `+ 0.0` normalizes IEEE -0.0 to +0.0: DuckDB's ROUND of a
+                   -- tiny negative preserves the sign while Spark's F.round
+                   -- does not, and the driver hashes canonical bytes (round-2
+                   -- red row; VERDICT r2 'What's wrong #1').
+                   ROUND(MAX(CASE WHEN kind = 'profile' THEN mu END), 6) + 0.0 AS mean_prof,
+                   ROUND(MAX(CASE WHEN kind = 'profile' THEN sd END), 6) + 0.0 AS stdev_prof,
+                   ROUND(MAX(CASE WHEN kind = 'profile' THEN sk END), 6) + 0.0 AS skew_prof,
+                   ROUND(MAX(CASE WHEN kind = 'profile' THEN ku END), 6) + 0.0 AS kurt_prof,
+                   ROUND(MAX(CASE WHEN kind = 'dm' THEN mu END), 6) + 0.0 AS mean_dm,
+                   ROUND(MAX(CASE WHEN kind = 'dm' THEN sd END), 6) + 0.0 AS stdev_dm,
+                   ROUND(MAX(CASE WHEN kind = 'dm' THEN sk END), 6) + 0.0 AS skew_dm,
+                   ROUND(MAX(CASE WHEN kind = 'dm' THEN ku END), 6) + 0.0 AS kurt_dm
             FROM f GROUP BY doc_id
         """,
         "label_attach_docs": """

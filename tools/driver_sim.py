@@ -51,7 +51,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            eq = (av.astype(float).fillna(np.inf) == bv.astype(float).fillna(np.inf))
+            # BIT-EXACT, like the driver's canonical-bytes hash: the round-2
+            # escape was -0.0 vs +0.0, which compare equal under `==` but
+            # hash differently.  View the float64 bit patterns as uint64 and
+            # compare those; NaN (any payload) vs NaN with the same payload
+            # is equal, NaN vs non-NaN or -0.0 vs +0.0 is NOT.
+            ab = av.astype(float).to_numpy(dtype=np.float64).view(np.uint64)
+            bb = bv.astype(float).to_numpy(dtype=np.float64).view(np.uint64)
+            eq = pd.Series(ab == bb, index=av.index)
         else:
             eq = (av.fillna("__null__") == bv.fillna("__null__")) if av.dtype == object else (
                 av.isna() & bv.isna()) | (av == bv)
