@@ -78,17 +78,32 @@ def main() -> None:
             asof_bucketed_storage,
         )
 
-        # kwargs-style so deployments shipping an older engine.zip
-        # (no elide_sort param) keep working when --presorted is absent
-        kw = {"elide_sort": True} if args.presorted else {}
-        joined = asof_bucketed_storage(
-            spark, "asof_union", on="event_time", by="doc_id", value_cols=VC,
-            **kw,
+        def assemble():
+            joined = asof_bucketed_storage(
+                spark, "asof_union", on="event_time", by="doc_id",
+                value_cols=VC,
+            )
+            feats = fused_features_arrow(joined, include_scores=True,
+                                         drop=("tokens",))
+            return feats.select("doc_id", "event_time", "mean", "stdev",
+                                "skew", "kurt", "f_mean", "f_std")
+
+        if not args.presorted:
+            return assemble()
+        # elide the query-time Sort: the ordering conf must be live while
+        # the FULL derived plan (join + feature select) is planned, so
+        # wrap assembly in the save/restore context manager and pin the
+        # physical plan before the conf reverts (asof_bucketed_storage's
+        # own elide_sort pins only ITS DataFrame, not plans derived
+        # from it).
+        from pulsarfeatureextractor_spark.operators.asof import (
+            bucketed_scan_ordering,
         )
-        feats = fused_features_arrow(joined, include_scores=True,
-                                     drop=("tokens",))
-        return feats.select("doc_id", "event_time", "mean", "stdev", "skew",
-                            "kurt", "f_mean", "f_std")
+
+        with bucketed_scan_ordering(spark):
+            out = assemble()
+            out._jdf.queryExecution().executedPlan()
+        return out
 
     if args.plan == "storage":
         from pulsarfeatureextractor_spark.operators.asof import (

@@ -36,6 +36,7 @@ over range-partitioned (entity, event_time) partitions").
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterable
 
 import pandas as pd
@@ -45,6 +46,28 @@ from pyspark.sql.window import Window
 
 _SIDE = "__asof_side"
 _RTS = "__asof_rts"
+
+_ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+
+@contextmanager
+def bucketed_scan_ordering(spark):
+    """Enable ``spark.sql.legacy.bucketedTableScan.outputOrdering`` for
+    the duration of the block and RESTORE the prior value on exit —
+    the save/restore discipline sinks/partitioned.py uses for
+    partitionOverwriteMode.  Use this around code that derives further
+    plans from ``asof_bucketed_storage(elide_sort=True)`` output (the
+    conf is read at planning time, so every plan built inside the block
+    sees it; plans built after exit do not)."""
+    prev = spark.conf.get(_ORDERING_CONF, None)
+    spark.conf.set(_ORDERING_CONF, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_ORDERING_CONF)
+        else:
+            spark.conf.set(_ORDERING_CONF, prev)
 
 
 def _normalize_cols(cols: "str | Iterable[str] | None") -> list[str]:
@@ -279,6 +302,18 @@ def prepare_bucketed_asof_table(
     unioned = _asof_tag_union(left, right, on, r_on, by_cols, list(value_cols))
     spark = left.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # DROP TABLE on an EXTERNAL table leaves its files behind: writing a
+    # NEW layout to the same path would let the new table's scan pick up
+    # stale part files from the prior one (duplicate rows).  Refuse
+    # rather than silently delete a user-supplied directory (ADVICE r2).
+    import os
+
+    if os.path.isdir(path) and os.listdir(path):
+        raise ValueError(
+            f"prepare_bucketed_asof_table: target path {path!r} is "
+            "non-empty (stale files from a prior table?). Point each "
+            "prepare at a fresh directory, or clear it explicitly."
+        )
     # one file per bucket: repartition on the SAME key/count as bucketBy
     # (identical murmur3 hash → task i holds exactly bucket i) — the
     # single write-time shuffle this layout ever pays
@@ -317,25 +352,40 @@ def asof_bucketed_storage(
 
     ``elide_sort=True`` (backward direction, table written with
     ``sort=True``): enables
-    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` on the
-    SESSION so the pre-sorted single-file-per-bucket scan reports its
-    ordering and the plan drops the Sort too — Scan → Window → Filter,
-    the minimum possible plan.  Safe because Spark itself re-inserts
-    the Sort whenever a bucket has more than one file (verified in
-    tests/test_asof_storage.py); note the conf is session-global.
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` while THIS
+    query is planned so the pre-sorted single-file-per-bucket scan
+    reports its ordering and the plan drops the Sort too —
+    Scan → Window → Filter, the minimum possible plan.  Safe because
+    Spark itself re-inserts the Sort whenever a bucket has more than
+    one file (verified in tests/test_asof_storage.py).  The conf is
+    save/restored around planning (the returned DataFrame's physical
+    plan is forced and cached first); wrap derived plans in
+    ``bucketed_scan_ordering`` if they should elide too.
     """
     by_cols = _normalize_cols(by)
-    if elide_sort:
-        spark.conf.set(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+
+    def build():
+        unioned = spark.table(table)
+        out_cols = [c for c in unioned.columns
+                    if c not in (*value_cols, _SIDE, _RTS)]
+        return _asof_window_apply(
+            unioned, on, by_cols, direction, tolerance, list(value_cols),
+            out_cols=out_cols,
         )
-    unioned = spark.table(table)
-    out_cols = [c for c in unioned.columns
-                if c not in (*value_cols, _SIDE, _RTS)]
-    return _asof_window_apply(
-        unioned, on, by_cols, direction, tolerance, list(value_cols),
-        out_cols=out_cols,
-    )
+
+    if not elide_sort:
+        return build()
+    # The ordering conf is read at PLANNING time.  Force the physical
+    # plan while the conf is set (QueryExecution caches it, so later
+    # actions on THIS DataFrame keep the elided Scan→Window→Filter
+    # shape), then restore the previous value so the session is not
+    # silently changed for unrelated bucketed-table queries (round-2
+    # ADVICE).  Callers that derive FURTHER plans from the result and
+    # want them elided too should wrap in ``bucketed_scan_ordering``.
+    with bucketed_scan_ordering(spark):
+        out = build()
+        out._jdf.queryExecution().executedPlan()
+    return out
 
 
 _BKT = "__asof_bkt"

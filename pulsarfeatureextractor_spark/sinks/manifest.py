@@ -38,6 +38,18 @@ MANIFEST_DIR = "snapshots"
 DATA_DIR = "data"
 
 
+def _uri_local_path(p: str) -> str:
+    """Canonical local path for a file URI or bare path: `file:/x`,
+    `file:///x` and `/x` all map to `/x`.  Non-file schemes (s3a, hdfs)
+    pass through whole so distinct stores never collide."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return unquote(u.path) or p
+    return p
+
+
 def use_real_iceberg(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is configured (cluster mode)."""
     confs = spark.sparkContext.getConf().getAll()
@@ -266,21 +278,35 @@ class IcebergLikeTable:
         cur = self._scan_files(spark, man["files"], man["schema"], with_file_col=True)
         key_df = updates.select(*keys).dropDuplicates(keys)
         maybe_b = F.broadcast if broadcast_keys else (lambda d: d)
-        touched = {
-            r["__file"].removeprefix("file:")
+        # Keep the RAW ``_metadata.file_path`` strings for the survivor
+        # filter (exact match against the same column is render-proof),
+        # and compare against manifest paths through ONE URI parser
+        # instead of hand-stripped 'file:' prefixes — if Spark renders
+        # the scheme differently the old isin silently matched nothing,
+        # carrying stale rows alongside the updates (ADVICE r2).
+        touched_raw = [
+            r["__file"]
             for r in cur.join(maybe_b(key_df), keys, "left_semi")
             .select("__file")
             .distinct()
             .collect()
-        }
-        untouched_prev = [f for f in man["files"] if f["path"] not in touched]
-        touched_norm = [f["path"] for f in man["files"] if f["path"] in touched]
-        survivors = (
-            cur.where(
-                F.col("__file").isin(
-                    [f"file:{p}" for p in touched_norm] + touched_norm
-                )
+        ]
+        touched = {_uri_local_path(p) for p in touched_raw}
+        untouched_prev = [
+            f for f in man["files"] if _uri_local_path(f["path"]) not in touched
+        ]
+        touched_norm = [
+            f["path"] for f in man["files"] if _uri_local_path(f["path"]) in touched
+        ]
+        if touched_raw and not touched_norm:
+            raise RuntimeError(
+                "merge_upsert: the key semi-join matched files "
+                f"(e.g. {touched_raw[0]!r}) but none mapped to a manifest "
+                "path — file_path rendering and manifest paths disagree; "
+                "refusing a merge that would duplicate matched keys."
             )
+        survivors = (
+            cur.where(F.col("__file").isin(touched_raw))
             .join(maybe_b(key_df), keys, "left_anti")
             .drop("__file")
         )

@@ -1,0 +1,170 @@
+"""Regression tests for the round-3 fixes (VERDICT/ADVICE r02):
+
+1. -0.0 float discipline: Spark F.round never emits IEEE -0.0, and the
+   driver_sim comparison is bit-exact so a -0.0/+0.0 disagreement FAILS
+   locally (the round-2 escape class).
+2. asof_bucketed_storage(elide_sort=True) no longer leaks
+   spark.sql.legacy.bucketedTableScan.outputOrdering into the session.
+3. prepare_bucketed_asof_table refuses a non-empty target path instead
+   of silently mixing stale part files into the new layout.
+4. merge_upsert maps _metadata.file_path to manifest paths through one
+   URI parser and raises (rather than duplicating keys) when matched
+   files map to zero manifest paths.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pulsarfeatureextractor_spark.operators.asof import (
+    _ORDERING_CONF,
+    asof_bucketed_storage,
+    bucketed_scan_ordering,
+    prepare_bucketed_asof_table,
+)
+
+
+def test_driver_sim_compare_is_bit_exact_on_signed_zero():
+    import sys
+    sys.path.insert(0, "tools")
+    from driver_sim import compare
+
+    a = pd.DataFrame({"k": [1, 2], "x": [0.0, 1.5]})
+    b = pd.DataFrame({"k": [1, 2], "x": [-0.0, 1.5]})
+    assert compare("t", a, a.copy()) == []
+    problems = compare("t", a, b)
+    assert problems and "x" in problems[0]
+
+
+def test_spark_round_normalizes_negative_zero(spark):
+    row = spark.range(1).select(
+        F.round(F.lit(-1e-9), 6).alias("r"),
+        (F.round(F.lit(-1e-9), 6) + F.lit(0.0)).alias("rn"),
+    ).first()
+    assert np.signbit(row["rn"]) == False  # noqa: E712
+    # pin the engine-side convention the lyon8 oracle fix relies on:
+    # Spark's F.round of a tiny negative does NOT carry the sign bit
+    assert np.signbit(row["r"]) == False  # noqa: E712
+
+
+def test_duckdb_round_plus_zero_normalizes():
+    import duckdb
+
+    r, rn = duckdb.sql(
+        "SELECT ROUND(-1e-9, 6) AS r, ROUND(-1e-9, 6) + 0.0 AS rn"
+    ).fetchone()
+    assert np.signbit(r)  # DuckDB preserves the sign (the round-2 bug)
+    assert not np.signbit(rn)  # the oracle-side normalization works
+
+
+@pytest.fixture()
+def small_sides(spark):
+    left = spark.range(0, 200).select(
+        (F.col("id") % 10).alias("doc_id"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 7).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(0, 50).select(
+        (F.col("id") % 10).alias("doc_id"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 29).alias("ts"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    )
+    return left, right
+
+
+def test_elide_sort_restores_session_conf(spark, small_sides, tmp_path):
+    left, right = small_sides
+    name = "r3_conf_restore_tbl"
+    prepare_bucketed_asof_table(
+        left, right, name, str(tmp_path / "t"), on="ts", by="doc_id",
+        value_cols=["v"], n_buckets=4,
+    )
+    assert spark.conf.get(_ORDERING_CONF, None) is None
+    try:
+        got = asof_bucketed_storage(spark, name, on="ts", by="doc_id",
+                                    value_cols=["v"], elide_sort=True)
+        # conf restored immediately after the call...
+        assert spark.conf.get(_ORDERING_CONF, None) is None
+        # ...yet the returned DataFrame keeps the elided plan (no Sort,
+        # no Exchange) because planning was forced under the conf
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("Sort ") == 0, plan
+        assert got.count() == 200
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_elide_sort_respects_preexisting_conf(spark, small_sides, tmp_path):
+    left, right = small_sides
+    name = "r3_conf_prev_tbl"
+    prepare_bucketed_asof_table(
+        left, right, name, str(tmp_path / "t"), on="ts", by="doc_id",
+        value_cols=["v"], n_buckets=4,
+    )
+    spark.conf.set(_ORDERING_CONF, "false")
+    try:
+        asof_bucketed_storage(spark, name, on="ts", by="doc_id",
+                              value_cols=["v"], elide_sort=True)
+        assert spark.conf.get(_ORDERING_CONF) == "false"
+    finally:
+        spark.conf.unset(_ORDERING_CONF)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_scan_ordering_context_manager(spark):
+    assert spark.conf.get(_ORDERING_CONF, None) is None
+    with bucketed_scan_ordering(spark):
+        assert spark.conf.get(_ORDERING_CONF) == "true"
+    assert spark.conf.get(_ORDERING_CONF, None) is None
+
+
+def test_prepare_refuses_nonempty_path(spark, small_sides, tmp_path):
+    left, right = small_sides
+    stale = tmp_path / "t"
+    stale.mkdir()
+    (stale / "part-stale.parquet").write_bytes(b"junk")
+    with pytest.raises(ValueError, match="non-empty"):
+        prepare_bucketed_asof_table(
+            left, right, "r3_refuse_tbl", str(stale), on="ts", by="doc_id",
+            value_cols=["v"], n_buckets=4,
+        )
+    spark.sql("DROP TABLE IF EXISTS r3_refuse_tbl")
+
+
+def test_merge_upsert_uri_normalization(spark, tmp_path):
+    """Manifest paths stored WITH a file: scheme must still match the
+    _metadata.file_path rendering — one URI parser on both sides."""
+    import json
+    import os
+
+    from pulsarfeatureextractor_spark.sinks.manifest import (
+        MANIFEST_DIR,
+        IcebergLikeTable,
+    )
+
+    t = IcebergLikeTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("old").alias("val")
+    )
+    t.write(base, mode="overwrite")
+    # adversarial rewrite: prepend 'file:' to every manifest path, as a
+    # different Hadoop FS rendering would
+    man_dir = os.path.join(t.path, MANIFEST_DIR)
+    for fn in os.listdir(man_dir):
+        p = os.path.join(man_dir, fn)
+        man = json.load(open(p))
+        if "files" not in man:
+            continue
+        for f in man["files"]:
+            f["path"] = "file:" + f["path"]
+        json.dump(man, open(p, "w"))
+    upd = spark.range(5, 12).select(
+        F.col("id").alias("k"), F.lit("new").alias("val")
+    )
+    t.merge_upsert(upd, keys=["k"])
+    out = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == list(range(12))  # no duplicate keys
+    assert (out.loc[out["k"] >= 5, "val"] == "new").all()
+    assert (out.loc[out["k"] < 5, "val"] == "old").all()

@@ -75,6 +75,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--skip-entry", action="store_true")
+    ap.add_argument("--json", default=None,
+                    help="write a per-query result summary to this path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -100,23 +102,30 @@ def main() -> int:
     oracles = mod.oracle_sql()
     names = args.names or list(qs)
     n_ok = n_bad = n_rowsonly = 0
-    for name in names:
+    results: dict[str, dict] = {}
+    for pos, name in enumerate(names, start=1):
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            results[name] = {"pos": pos, "status": "fail",
+                             "err": f"spark {type(e).__name__}: {e}"[:300]}
             n_bad += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{dt:.1f}s]")
+            results[name] = {"pos": pos, "status": "rows_only",
+                             "rows": len(sdf), "sec": round(dt, 2)}
             n_rowsonly += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            results[name] = {"pos": pos, "status": "fail",
+                             "err": f"oracle {type(e).__name__}: {e}"[:300]}
             n_bad += 1
             continue
         problems = compare(name, sdf, odf)
@@ -124,11 +133,24 @@ def main() -> int:
             print(f"FAIL  {name} [{dt:.1f}s]")
             for p in problems[:4]:
                 print(f"      {p}")
+            results[name] = {"pos": pos, "status": "fail",
+                             "rows": len(sdf), "problems": problems[:4]}
             n_bad += 1
         else:
             print(f"OK    {name}: {len(sdf)} rows [{dt:.1f}s]")
+            results[name] = {"pos": pos, "status": "ok",
+                             "rows": len(sdf), "sec": round(dt, 2)}
             n_ok += 1
     print(f"\n{n_ok} ok, {n_rowsonly} rows-only, {n_bad} failed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "n_ok": n_ok,
+                       "n_rows_only": n_rowsonly, "n_failed": n_bad,
+                       "compare": "bit-exact float64 (uint64 view)",
+                       "queries": results}, f, indent=1)
+        print(f"wrote {args.json}")
     return 1 if n_bad else 0
 
 
