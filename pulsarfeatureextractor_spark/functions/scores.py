@@ -408,6 +408,176 @@ def with_width_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
+EATOUGH_FIELDS = [
+    "eat_snr",              # profile (max - mu) / sigma
+    "eat_w50_frac",         # profile bins above half-max, / n  (W50)
+    "eat_w25_frac",         # profile bins above min + 0.75*range, / n (W25)
+    "eat_peak_offset",      # profile (argmax - n/2) / n
+    "eat_n_peaks",          # profile local maxima above mu + 2 sigma (int)
+    "eat_centroid_offset",  # |intensity centroid - argmax| / n
+    "eat_dm_snr",           # DM curve (max - mu) / sigma
+    "eat_dm_w50_frac",      # DM trials above half-max, / n
+    "eat_dm_peak_offset",   # DM argmax position, centered, / n
+    "eat_dm_tri_chi2",      # chi2/n of normalized DM curve vs the
+                            # parameter-free triangle template at the peak
+    "eat_dm_grad_max",      # max |step| of the normalized DM curve
+    "eat_snr_ratio",        # profile snr / (DM snr + 1)
+]
+
+
+def _curve_stats(col: str):
+    """Shared per-curve expression bundle (x, n, mn, mx, s1, s2, mu,
+    sigma, rng, snr, 1-based argmax) — the float discipline is the same
+    expression tree the DuckDB oracle writes, term for term."""
+    x = F.transform(F.col(col), lambda v: v.cast("double"))
+    n = F.size(F.col(col))
+    mn, mx = F.array_min(x), F.array_max(x)
+    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    mu = s1 / n
+    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    rng = mx - mn
+    snr = F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0))
+    idx = F.array_position(x, mx)  # 1-based first occurrence
+    return x, n, mn, mx, s1, s2, mu, sigma, rng, snr, idx
+
+
+def with_eatough_features(
+    df: DataFrame,
+    profile_col: str = "tokens_prof",
+    dm_col: str = "tokens_dm",
+) -> DataFrame:
+    """Eatough-style 12-feature candidate set (Eatough et al. 2010,
+    MNRAS 407:2443), recast onto the two 1-D curves the engine's data
+    model carries — integrated profile + DM-style curve — all JVM
+    expressions (zero Python, scan-fused like PEACE/SPINN).
+
+    The published set feeds an ANN with 12 scores built from the pulse
+    profile and the DM-SNR curve: profile S/N, pulse widths at
+    fractions of the peak, peak counts/positions, and DM-curve shape
+    terms.  /root/reference is empty and the sandbox is offline
+    (SURVEY.md §0), so the exact published formulas cannot be
+    re-checked bit-for-bit; each feature below is the documented
+    curve-side reconstruction of its published description — the same
+    standard as with_peace_features / with_spinn_features:
+
+    profile: snr, W50/W25 width fractions, centered peak offset,
+             peak count above mu+2sigma, centroid-vs-peak offset;
+    DM:      snr, W50 width fraction, centered peak offset, chi2/n
+             against the parameter-free triangle template centered on
+             the peak (the curve-shape fit term; a real pulsar's DM
+             curve rises to a single narrow peak), max normalized step
+             (RFI spikiness);
+    cross:   profile snr / (DM snr + 1).
+    """
+    px, pn, pmn, pmx, ps1, _, pmu, psig, prng, psnr, pidx = _curve_stats(
+        profile_col
+    )
+    qx, qn, qmn, qmx, _, _, qmu, qsig, qrng, qsnr, qidx = _curve_stats(dm_col)
+
+    half_p = (pmn + pmx) / F.lit(2.0)
+    q3_p = pmn + F.lit(0.75) * prng
+    half_q = (qmn + qmx) / F.lit(2.0)
+
+    thr = pmu + F.lit(2.0) * psig
+    n_peaks = F.when(
+        pn >= 3,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(2), pn - 1),
+                lambda i: F.when(
+                    (F.element_at(px, i) > F.element_at(px, i - 1))
+                    & (F.element_at(px, i) > F.element_at(px, i + 1))
+                    & (F.element_at(px, i) > thr),
+                    1,
+                ).otherwise(0),
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        ),
+    ).otherwise(F.lit(0))
+
+    base = ps1 - pmn * pn
+    wsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), pn),
+            lambda i: (i - F.lit(1)).cast("double")
+            * (F.element_at(px, i) - pmn),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    centroid_off = F.when(
+        base > 0, F.abs(wsum / base - (pidx - F.lit(1)).cast("double")) / pn
+    ).otherwise(F.lit(0.0))
+
+    def _tri_diff(i):
+        # (normalized value - triangle template); squared via explicit
+        # multiplication (NOT pow) so the DuckDB oracle's d*d matches
+        # bit-for-bit
+        return (F.element_at(qx, i) - qmn) / qrng - F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.abs((i - qidx).cast("double")) / (qn / F.lit(2.0)),
+        )
+
+    tri_chi2 = F.when(
+        qrng > 0,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), qn),
+                lambda i: _tri_diff(i) * _tri_diff(i),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / qn,
+    ).otherwise(F.lit(0.0))
+
+    grad_max = F.when(
+        (qrng > 0) & (qn >= 2),
+        F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), qn - 1),
+                lambda i: F.abs(
+                    F.element_at(qx, i + 1) - F.element_at(qx, i)
+                ),
+            )
+        )
+        / qrng,
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("eat_snr", psnr)
+        .withColumn(
+            "eat_w50_frac",
+            F.size(F.filter(px, lambda v: v > half_p)) / pn.cast("double"),
+        )
+        .withColumn(
+            "eat_w25_frac",
+            F.size(F.filter(px, lambda v: v > q3_p)) / pn.cast("double"),
+        )
+        .withColumn(
+            "eat_peak_offset",
+            ((pidx - 1).cast("double") - pn / F.lit(2.0)) / pn,
+        )
+        .withColumn("eat_n_peaks", n_peaks.cast("int"))
+        .withColumn("eat_centroid_offset", centroid_off)
+        .withColumn("eat_dm_snr", qsnr)
+        .withColumn(
+            "eat_dm_w50_frac",
+            F.size(F.filter(qx, lambda v: v > half_q)) / qn.cast("double"),
+        )
+        .withColumn(
+            "eat_dm_peak_offset",
+            ((qidx - 1).cast("double") - qn / F.lit(2.0)) / qn,
+        )
+        .withColumn("eat_dm_tri_chi2", tri_chi2)
+        .withColumn("eat_dm_grad_max", grad_max)
+        .withColumn("eat_snr_ratio", psnr / (qsnr + F.lit(1.0)))
+    )
+
+
 def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """SQL-expressible subset of the scores, computed ENTIRELY JVM-side.
 
