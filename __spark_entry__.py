@@ -1194,6 +1194,34 @@ def subband_scores_docs(spark, sf):
     )
 
 
+def subint_scores_docs(spark, sf):
+    """A8 second cube axis: Thornton-style SUB-INTEGRATION scores —
+    the same (channels x bins) kernel as subband_scores_docs applied to
+    a deterministic synthetic (6 x n_tok) time-axis cube
+    (with_synthetic_subints; real sub-int data loads into the same flat
+    column).  With the 10 1-D scores + 6 sub-band + 6 sub-int the
+    Thornton-style family reaches the published 22-score count; oracle
+    is a committed VALUES literal (tools/gen_value_oracles.gen_subint,
+    independence-checked per row against tests/oracle.subband_oracle_row)."""
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SUBBAND_FIELDS,
+        with_subband_scores,
+    )
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        with_synthetic_subints,
+    )
+
+    d = load_table(spark, sf, "documents")
+    seqs = documents_to_sequences(d)
+    si = with_synthetic_subints(seqs, n_int=6).select("doc_id", "si_flat")
+    out = with_subband_scores(si, "si_flat", n_chan=6, drop=("si_flat",))
+    return out.select(
+        "doc_id",
+        *[F.round(c, 6).alias(c.replace("sb_", "si_"))
+          for c in SUBBAND_FIELDS],
+    )
+
+
 def minhash_lsh_pairs_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return minhash_lsh_pairs(
@@ -1678,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
+        "subint_scores_docs": subint_scores_docs,
     }
 
 

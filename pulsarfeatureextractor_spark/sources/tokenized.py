@@ -300,6 +300,33 @@ def with_synthetic_subbands(
     return df.withColumn(out_col, F.concat(*bands))
 
 
+def with_synthetic_subints(
+    df: DataFrame, tokens_col: str = "tokens", n_int: int = 6,
+    out_col: str = "si_flat",
+) -> DataFrame:
+    """Deterministic per-candidate SUB-INTEGRATION (time x phase) cube
+    from the 1-D token curve — the second cube axis of the reference's
+    2-D score inputs (Thornton 2013: sub-band AND sub-int matrices).
+
+    Sub-int s's bin i = (tokens[i] + (s+1) * (i mod 13) + 3*s) mod 256 —
+    a different modulus and a per-row drift term than the sub-band
+    stand-in, so the two synthetic axes are not trivially identical.
+    Flat row-major (``out_col``: n_int * n_tok ints), consumed by the
+    SAME kernel as the sub-band family
+    (functions/scores.with_subband_scores — both cubes are
+    (channels, bins)); real sub-int data would load into the same
+    column.
+    """
+    def _subint(s: int):
+        return lambda x, i: (
+            (x.cast("long") + F.lit(s + 1) * (i % F.lit(13)) + F.lit(3 * s))
+            % F.lit(256)
+        ).cast("int")
+
+    ints = [F.transform(F.col(tokens_col), _subint(s)) for s in range(n_int)]
+    return df.withColumn(out_col, F.concat(*ints))
+
+
 def documents_to_sequences(documents: DataFrame) -> DataFrame:
     """Recast the driver documents table into the hinted 4-column shape.
 

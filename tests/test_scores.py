@@ -168,3 +168,44 @@ def test_with_subband_scores_spark(spark):
         want = [(v + (b + 1) * (i % 17)) % 256
                 for b in range(8) for i, v in enumerate(t)]
         assert list(flat) == want
+
+
+def test_with_subint_scores_spark(spark):
+    """Sub-integration (time-axis) cube: the JVM-built synthetic cube
+    matches the python transcription, and the shared kernel scores it
+    identically to the local call — the same contract as the sub-band
+    test above, over the second cube axis."""
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SUBBAND_FIELDS,
+        subband_scores_list_array,
+        with_subband_scores,
+    )
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        with_synthetic_subints,
+    )
+    import pyarrow as pa
+
+    rows = [(str(i), [int(v) for v in np.random.default_rng(100 + i).integers(
+        0, 256, size=15 + i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = with_subband_scores(
+        with_synthetic_subints(df, n_int=6), "si_flat", n_chan=6
+    ).select("doc_id", "si_flat", *SUBBAND_FIELDS).toPandas()
+    local = subband_scores_list_array(
+        pa.array(list(out["si_flat"]), type=pa.list_(pa.int32())), 6)
+    got = out[SUBBAND_FIELDS].to_numpy()
+    assert np.allclose(got, local, rtol=1e-12, atol=0)
+    toks = dict(rows)
+    for did, flat in zip(out["doc_id"], out["si_flat"]):
+        t = toks[did]
+        want = [(v + (s + 1) * (i % 13) + 3 * s) % 256
+                for s in range(6) for i, v in enumerate(t)]
+        assert list(flat) == want
+    # the two synthetic axes must not be trivially identical cubes
+    from pulsarfeatureextractor_spark.sources.tokenized import (
+        with_synthetic_subbands,
+    )
+    both = (with_synthetic_subbands(df, n_chan=6)
+            .transform(lambda d: with_synthetic_subints(d, n_int=6)))
+    row = both.select("sb_flat", "si_flat").first()
+    assert list(row["sb_flat"]) != list(row["si_flat"])

@@ -55,7 +55,11 @@ MERSENNE = (1 << 61) - 1
 
 def spark_round6(x: float) -> float:
     d = Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    return float(d)
+    f = float(d)
+    # Spark's F.round normalizes IEEE -0.0 to +0.0; a '-0.0' VALUES
+    # literal would be byte-distinct under the driver's hash (the
+    # round-2 lyon8 escape class)
+    return 0.0 if f == 0.0 else f
 
 
 def _sql_str(s: str) -> str:
@@ -293,6 +297,49 @@ def gen_subband(ids, texts, n_chan=8) -> str:
     return _values_sql(rows, cols)
 
 
+def gen_subint(ids, texts, n_int=6) -> str:
+    """Sub-INTEGRATION scores over the second synthetic cube axis
+    (sources/tokenized.with_synthetic_subints): sub-int s bin i =
+    (tokens[i] + (s+1)*(i%13) + 3*s) % 256.  Same kernel and same
+    independence discipline as gen_subband (naive per-row transcription
+    check via tests/oracle.subband_oracle_row); output columns are the
+    si_* renames of SUBBAND_FIELDS."""
+    from pulsarfeatureextractor_spark.functions.scores import (
+        SUBBAND_FIELDS,
+        subband_scores_list_array,
+    )
+    from tests.oracle import subband_oracle_row
+
+    flats = []
+    for s_text in texts:
+        toks = [len(w) % 256 for w in s_text.split(" ")]
+        flat = []
+        for s in range(n_int):
+            flat.extend((t + (s + 1) * (i % 13) + 3 * s) % 256
+                        for i, t in enumerate(toks))
+        flats.append(flat)
+    got = subband_scores_list_array(
+        pa.array(flats, type=pa.list_(pa.int32())), n_int)
+    for i, flat in enumerate(flats):
+        mat = np.asarray(flat, dtype=np.float64).reshape(n_int, -1)
+        want = subband_oracle_row(mat)
+        for j, name in enumerate(SUBBAND_FIELDS):
+            assert np.isclose(got[i, j], want[name], rtol=1e-9, atol=1e-12), (
+                ids[i], name, got[i, j], want[name])
+    v = got.flatten() * 1e6
+    margin = np.abs((v - np.floor(v)) - 0.5).min()
+    assert margin > 1e-6, f"value too close to a round-6 boundary: {margin}"
+
+    si_fields = [n.replace("sb_", "si_") for n in SUBBAND_FIELDS]
+    rows = []
+    for i, did in enumerate(ids):
+        lits = [_sql_str(str(did))] + [repr(spark_round6(got[i, j]))
+                                       for j in range(len(si_fields))]
+        rows.append(tuple(lits))
+    cols = [("doc_id", "VARCHAR")] + [(n, "DOUBLE") for n in si_fields]
+    return _values_sql(rows, cols)
+
+
 def _synthetic_media_py(n_rows=300, seed=42):
     """Pure-python twin of functions/multimodal.synthetic_media —
     IDENTICAL rng call order (choice w, choice h, integers only for
@@ -494,6 +541,7 @@ def main() -> None:
     oracles = {
         "thornton_scores_docs": gen_thornton(ids, texts),
         "subband_scores_docs": gen_subband(ids, texts),
+        "subint_scores_docs": gen_subint(ids, texts),
         "minhash_lsh_pairs_docs": gen_minhash_pairs(ids, texts),
         "simhash_pairs_docs": gen_simhash_pairs(ids, texts),
         "vocab_tokenize_docs": gen_vocab_hash(ids, texts),
