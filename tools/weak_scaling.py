@@ -47,16 +47,20 @@ from tools.scaling_hunt import capacity_probe, loadavg  # noqa: E402
 
 
 def one_cycle(small_dir: str, large_dir: str, zip_path: str,
-              runs: int) -> dict:
+              runs: int, job_args: "list[str] | None" = None) -> dict:
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
+    if job_args:
+        rec["job_args"] = job_args
     rec["capacity"] = capacity_probe(large_dir)
     with Cluster(4) as c4:
         rec["exec4_large"] = submit(large_dir, zip_path, 32, runs,
-                                    master_url=c4.master_url)
+                                    master_url=c4.master_url,
+                                    job_args=job_args)
     rec["load_mid"] = loadavg()
     with Cluster(1) as c1:
         rec["exec1_small"] = submit(small_dir, zip_path, 8, runs,
-                                    master_url=c1.master_url)
+                                    master_url=c1.master_url,
+                                    job_args=job_args)
     rec["load_post"] = loadavg()
     t1, t4 = rec["exec1_small"]["sec"], rec["exec4_large"]["sec"]
     rec["weak_efficiency"] = round(t1 / t4, 3)
@@ -72,7 +76,17 @@ def main() -> None:
     ap.add_argument("--cycles", type=int, default=3)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default="BENCH/weak_scaling_r02.jsonl")
+    ap.add_argument("--plan", default="",
+                    help="scaling_job plan override (e.g. 'storage'); "
+                         "'storage' adds --presorted (the zero-Exchange "
+                         "production posture, the r03 gate subject)")
     args = ap.parse_args()
+
+    job_args: "list[str] | None" = None
+    if args.plan:
+        job_args = ["--plan", args.plan]
+        if args.plan == "storage":
+            job_args.append("--presorted")
 
     if not os.path.isdir(args.small_dir):
         from bench import _gen_input
@@ -89,7 +103,7 @@ def main() -> None:
     for i in range(args.cycles):
         try:
             rec = one_cycle(args.small_dir, args.large_dir, zip_path,
-                            args.runs)
+                            args.runs, job_args=job_args)
         except Exception as exc:  # record the window, keep hunting
             rec = {"ts": time.strftime("%H:%M:%S"), "error": str(exc)[:500]}
         with open(args.out, "a") as f:
