@@ -128,7 +128,22 @@ def main() -> None:
             )
         else:
             # files already bucketed on disk: re-register in this
-            # session's catalog (bucket ids live in the file names)
+            # session's catalog.  The bucket count MUST match the
+            # on-disk layout (ids live in the file names) — registering
+            # a 256-file layout as 32 buckets makes the bucketed scan
+            # feed the window a fraction of the rows, silently, at
+            # full speed.  Derive it; ignore --buckets here.
+            from pulsarfeatureextractor_spark.operators.asof import (
+                infer_bucket_count,
+            )
+
+            n_buckets = infer_bucket_count(tbl_dir)
+            if n_buckets != args.buckets:
+                sys.stderr.write(
+                    f"registering existing layout with its on-disk "
+                    f"bucket count {n_buckets} (ignoring --buckets "
+                    f"{args.buckets})\n"
+                )
             schema = spark.read.parquet(tbl_dir).schema
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -140,7 +155,23 @@ def main() -> None:
             spark.sql(
                 f"CREATE TABLE asof_union ({cols}) USING PARQUET "
                 f"CLUSTERED BY (doc_id) {sorted_by}"
-                f"INTO {args.buckets} BUCKETS LOCATION '{tbl_dir}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{tbl_dir}'"
+            )
+        # pre-flight (outside the timed loop): an as-of preserves every
+        # LEFT row (tagged __asof_side == 1), so the joined count must
+        # equal the left-side count read through a PLAIN parquet scan —
+        # catches any registration / file-grouping mismatch before it
+        # can fake a fast wrong run
+        from pyspark.sql import functions as F
+
+        left_rows = (spark.read.parquet(tbl_dir)
+                     .where(F.col("__asof_side") == 1).count())
+        got_rows = build_storage().count()
+        if got_rows != left_rows:
+            raise RuntimeError(
+                f"storage-plan pre-flight failed: as-of emitted "
+                f"{got_rows} rows, left side has {left_rows} — bucketed "
+                f"registration does not match the on-disk layout"
             )
         build = build_storage
 

@@ -325,6 +325,42 @@ def prepare_bucketed_asof_table(
     return name
 
 
+def infer_bucket_count(path: str) -> int:
+    """Bucket count of an on-disk Spark-bucketed parquet directory,
+    parsed from the ``part-XXXXX-uuid_YYYYY`` bucket-id suffix.
+
+    Registering an existing layout with the WRONG ``INTO N BUCKETS``
+    count is silently catastrophic: the bucketed scan groups files by
+    the id in the filename, so a 256-file layout registered as 32
+    buckets feeds the window a fraction of the rows and the job
+    produces wrong results at full speed (caught by the round-3
+    pre-registered scaling run's first cycle — weak_efficiency 3.287
+    was the 4-executor leg reading ~1/8 of the table).  Always derive
+    the count from the layout; never trust a CLI default.
+    """
+    import os
+    import re
+
+    ids = set()
+    for fn in os.listdir(path):
+        m = re.match(r"part-\d+-[0-9a-f-]+_(\d{5})\.", fn)
+        if m:
+            ids.add(int(m.group(1)))
+    if not ids:
+        raise ValueError(f"no bucketed part files under {path!r}")
+    n = max(ids) + 1
+    if len(ids) != n:
+        # collapsed/missing bucket ids — layout was not written one
+        # file per bucket; the count is still max+1 but flag loudly
+        import warnings
+
+        warnings.warn(
+            f"bucketed layout {path!r} has {len(ids)} distinct bucket "
+            f"ids, expected {n} (ids 0..{n-1}); registration uses {n}"
+        )
+    return n
+
+
 def asof_bucketed_storage(
     spark,
     table: str,

@@ -168,3 +168,24 @@ def test_merge_upsert_uri_normalization(spark, tmp_path):
     assert list(out["k"]) == list(range(12))  # no duplicate keys
     assert (out.loc[out["k"] >= 5, "val"] == "new").all()
     assert (out.loc[out["k"] < 5, "val"] == "old").all()
+
+
+def test_infer_bucket_count(tmp_path, small_sides, spark):
+    from pulsarfeatureextractor_spark.operators.asof import (
+        infer_bucket_count,
+    )
+
+    left, right = small_sides
+    name = "r3_infer_tbl"
+    prepare_bucketed_asof_table(
+        left, right, name, str(tmp_path / "t"), on="ts", by="doc_id",
+        value_cols=["v"], n_buckets=4,
+    )
+    try:
+        assert infer_bucket_count(str(tmp_path / "t")) == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    with pytest.raises(ValueError, match="no bucketed part files"):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        infer_bucket_count(str(empty))
