@@ -54,6 +54,7 @@ HEADLINE = [
     "minhash_signatures_docs",     # MinHash sketch
     "simhash_signatures_docs",     # single-pass Arrow simhash (vs 64-fold SQL)
     "subband_scores_docs",         # 2-D sub-band score family (A8)
+    "eatough_features_docs",       # Eatough 12-feature fused JVM tree (A9)
     "ann_cosine_topk",             # brute-force ANN
     "pack_sequences_docs",         # two-level distributed prefix sum
     "tfidf_topk_docs",             # TF-IDF (broadcast term dictionary)
