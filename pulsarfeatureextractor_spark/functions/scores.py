@@ -425,23 +425,6 @@ EATOUGH_FIELDS = [
 ]
 
 
-def _curve_stats(col: str):
-    """Shared per-curve expression bundle (x, n, mn, mx, s1, s2, mu,
-    sigma, rng, snr, 1-based argmax) — the float discipline is the same
-    expression tree the DuckDB oracle writes, term for term."""
-    x = F.transform(F.col(col), lambda v: v.cast("double"))
-    n = F.size(F.col(col))
-    mn, mx = F.array_min(x), F.array_max(x)
-    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
-    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
-    mu = s1 / n
-    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
-    rng = mx - mn
-    snr = F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0))
-    idx = F.array_position(x, mx)  # 1-based first occurrence
-    return x, n, mn, mx, s1, s2, mu, sigma, rng, snr, idx
-
-
 def with_eatough_features(
     df: DataFrame,
     profile_col: str = "tokens_prof",
@@ -469,11 +452,60 @@ def with_eatough_features(
              curve rises to a single narrow peak), max normalized step
              (RFI spikiness);
     cross:   profile snr / (DM snr + 1).
+
+    Implementation note — STAGED projections, not one fused tree: the
+    shared statistics (array casts, power-sum folds, argmax) are
+    materialized as intermediate columns so each is evaluated ONCE per
+    row.  A single inlined tree re-evaluates every O(n) fold per
+    reference and the triangle template's argmax per ELEMENT (O(n²)) —
+    measured 18 s vs <1 s at sf0.1 for identical float output.
+    Catalyst's CollapseProject keeps expensive multiply-referenced
+    aliases in their own projection, so the stages survive optimization.
+    The per-value arithmetic is bit-identical to the DuckDB oracle's
+    staged CTEs (which mirror these stages term for term).
     """
-    px, pn, pmn, pmx, ps1, _, pmu, psig, prng, psnr, pidx = _curve_stats(
-        profile_col
-    )
-    qx, qn, qmn, qmx, _, _, qmu, qsig, qrng, qsnr, qidx = _curve_stats(dm_col)
+    t = "__eat_"
+    staged = df.withColumns({
+        t + "px": F.transform(F.col(profile_col),
+                              lambda v: v.cast("double")),
+        t + "qx": F.transform(F.col(dm_col), lambda v: v.cast("double")),
+        t + "n": F.size(F.col(profile_col)),
+    })
+    px, qx = F.col(t + "px"), F.col(t + "qx")
+    pn = qn = F.col(t + "n")
+    staged = staged.withColumns({
+        t + "pmn": F.array_min(px), t + "pmx": F.array_max(px),
+        t + "ps1": F.aggregate(px, F.lit(0.0), lambda a, v: a + v),
+        t + "ps2": F.aggregate(px, F.lit(0.0), lambda a, v: a + v * v),
+        t + "qmn": F.array_min(qx), t + "qmx": F.array_max(qx),
+        t + "qs1": F.aggregate(qx, F.lit(0.0), lambda a, v: a + v),
+        t + "qs2": F.aggregate(qx, F.lit(0.0), lambda a, v: a + v * v),
+    })
+    pmn, pmx = F.col(t + "pmn"), F.col(t + "pmx")
+    ps1, ps2 = F.col(t + "ps1"), F.col(t + "ps2")
+    qmn, qmx = F.col(t + "qmn"), F.col(t + "qmx")
+    qs1, qs2 = F.col(t + "qs1"), F.col(t + "qs2")
+    pmu_e = ps1 / pn
+    qmu_e = qs1 / qn
+    staged = staged.withColumns({
+        t + "pmu": pmu_e,
+        t + "psig": F.sqrt(F.greatest(ps2 / pn - pmu_e * pmu_e, F.lit(0.0))),
+        t + "qmu": qmu_e,
+        t + "qsig": F.sqrt(F.greatest(qs2 / qn - qmu_e * qmu_e, F.lit(0.0))),
+        t + "prng": pmx - pmn,
+        t + "qrng": qmx - qmn,
+        t + "pidx": F.array_position(px, pmx),
+        t + "qidx": F.array_position(qx, qmx),
+    })
+    pmu, psig = F.col(t + "pmu"), F.col(t + "psig")
+    qmu, qsig = F.col(t + "qmu"), F.col(t + "qsig")
+    prng, qrng = F.col(t + "prng"), F.col(t + "qrng")
+    pidx, qidx = F.col(t + "pidx"), F.col(t + "qidx")
+    staged = staged.withColumns({
+        t + "psnr": F.when(psig > 0, (pmx - pmu) / psig).otherwise(F.lit(0.0)),
+        t + "qsnr": F.when(qsig > 0, (qmx - qmu) / qsig).otherwise(F.lit(0.0)),
+    })
+    psnr, qsnr = F.col(t + "psnr"), F.col(t + "qsnr")
 
     half_p = (pmn + pmx) / F.lit(2.0)
     q3_p = pmn + F.lit(0.75) * prng
@@ -547,35 +579,26 @@ def with_eatough_features(
         / qrng,
     ).otherwise(F.lit(0.0))
 
-    return (
-        df.withColumn("eat_snr", psnr)
-        .withColumn(
-            "eat_w50_frac",
+    out = staged.withColumns({
+        "eat_snr": psnr,
+        "eat_w50_frac":
             F.size(F.filter(px, lambda v: v > half_p)) / pn.cast("double"),
-        )
-        .withColumn(
-            "eat_w25_frac",
+        "eat_w25_frac":
             F.size(F.filter(px, lambda v: v > q3_p)) / pn.cast("double"),
-        )
-        .withColumn(
-            "eat_peak_offset",
+        "eat_peak_offset":
             ((pidx - 1).cast("double") - pn / F.lit(2.0)) / pn,
-        )
-        .withColumn("eat_n_peaks", n_peaks.cast("int"))
-        .withColumn("eat_centroid_offset", centroid_off)
-        .withColumn("eat_dm_snr", qsnr)
-        .withColumn(
-            "eat_dm_w50_frac",
+        "eat_n_peaks": n_peaks.cast("int"),
+        "eat_centroid_offset": centroid_off,
+        "eat_dm_snr": qsnr,
+        "eat_dm_w50_frac":
             F.size(F.filter(qx, lambda v: v > half_q)) / qn.cast("double"),
-        )
-        .withColumn(
-            "eat_dm_peak_offset",
+        "eat_dm_peak_offset":
             ((qidx - 1).cast("double") - qn / F.lit(2.0)) / qn,
-        )
-        .withColumn("eat_dm_tri_chi2", tri_chi2)
-        .withColumn("eat_dm_grad_max", grad_max)
-        .withColumn("eat_snr_ratio", psnr / (qsnr + F.lit(1.0)))
-    )
+        "eat_dm_tri_chi2": tri_chi2,
+        "eat_dm_grad_max": grad_max,
+        "eat_snr_ratio": psnr / (qsnr + F.lit(1.0)),
+    })
+    return out.drop(*[c for c in out.columns if c.startswith(t)])
 
 
 def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:

@@ -90,6 +90,15 @@ def main() -> None:
     )
 
     sections.append((
+        "Eatough 12-feature family (staged JVM projections)",
+        "all twelve scores over BOTH curves as higher-order array "
+        "expressions in STAGED projections (shared stats materialized "
+        "once per row; CollapseProject keeps expensive multi-referenced "
+        "aliases in their own stage — 15x over the single inlined tree, "
+        "identical float output) — zero Exchange, zero Python:",
+        entry.eatough_features_docs(spark, SF)))
+
+    sections.append((
         "Sub-band score family (2-D cube, mapInArrow)",
         "flat band-major cube built by JVM transform/concat, scored in "
         "one PythonMapInArrow pass — pure map, no Exchange; input pruned "
