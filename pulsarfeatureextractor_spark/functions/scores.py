@@ -380,19 +380,16 @@ def with_width_features(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
 
     Integer token inputs make every sum exact; the divisions are single
     ops mirrored identically in the DuckDB oracle (bit-exact at
-    round(6), same discipline as the moment family).
+    round(6), same discipline as the moment family).  Shared statistics
+    staged as columns (``_stage_curve``); identical float output.
     """
-    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
-    n = F.size(F.col(tokens_col))
-    mn = F.array_min(x)
-    mx = F.array_max(x)
-    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
-    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
-    mu = s1 / n
-    rms = F.sqrt(s2 / n)
+    df, st = _stage_curve(df, tokens_col)
+    x, n, mn, mx = st.x, st.n, st.mn, st.mx
+    mu = st.mu
+    rms = F.sqrt(st.s2 / n)
     half = (mn + mx) / F.lit(2.0)
     q3 = mn + F.lit(0.75) * (mx - mn)
-    return (
+    return _drop_stage(
         df.withColumn(
             "n_above_half",
             F.size(F.filter(x, lambda v: v > half)).cast("int"))
@@ -623,6 +620,57 @@ def with_profile_stats_sql(df: DataFrame, tokens_col: str = "tokens") -> DataFra
     )
 
 
+class _CurveStage:
+    """Handle for staged per-curve statistics columns (see
+    ``_stage_curve``): attribute access returns the column reference."""
+
+    def __init__(self, prefix: str):
+        self._p = prefix
+
+    def __getattr__(self, name):
+        return F.col(self._p + name)
+
+
+def _stage_curve(df: DataFrame, tokens_col: str, prefix: str = "__cs_"):
+    """Materialize the shared per-curve statistics (double array, n,
+    min/max, power sums, mu, sigma) as INTERMEDIATE COLUMNS and return
+    ``(df, stage)`` where ``stage.x / stage.mu / ...`` are column refs.
+
+    Why columns and not one fused tree: every reference to an inlined
+    ``F.aggregate`` fold re-evaluates the whole O(n) fold, so a feature
+    family that references mu/sigma a dozen times pays a dozen folds
+    per row (measured 15x on the Eatough family).  Catalyst's
+    CollapseProject keeps expensive multiply-referenced aliases in
+    their own projection stage, so the staging survives optimization;
+    the per-value arithmetic is unchanged, so DuckDB oracles match
+    bit-for-bit.  Drop the temporaries with ``_drop_stage``.
+    """
+    t = prefix
+    df = df.withColumns({
+        t + "x": F.transform(F.col(tokens_col), lambda v: v.cast("double")),
+        t + "n": F.size(F.col(tokens_col)),
+    })
+    x, n = F.col(t + "x"), F.col(t + "n")
+    df = df.withColumns({
+        t + "mn": F.array_min(x),
+        t + "mx": F.array_max(x),
+        t + "s1": F.aggregate(x, F.lit(0.0), lambda a, v: a + v),
+        t + "s2": F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v),
+    })
+    mu_e = F.col(t + "s1") / n
+    df = df.withColumns({
+        t + "mu": mu_e,
+        t + "sigma": F.sqrt(
+            F.greatest(F.col(t + "s2") / n - mu_e * mu_e, F.lit(0.0))
+        ),
+    })
+    return df, _CurveStage(t)
+
+
+def _drop_stage(df: DataFrame, prefix: str = "__cs_") -> DataFrame:
+    return df.drop(*[c for c in df.columns if c.startswith(prefix)])
+
+
 def _chunk_bounds(n, n_chunks: int, i: int):
     """1-based (start, length) of equal chunk i — floor arithmetic
     pinned identically in the DuckDB oracles (explicit floor(), never a
@@ -654,14 +702,19 @@ def with_peace_features(
                          (mean of the bottom decile + 1)
     - peace_n_peaks    : local maxima above mean + 2 sigma
     - peace_mean_adiff : mean |x[i+1] - x[i]| (profile smoothness)
+
+    Shared statistics are staged as intermediate columns
+    (``_stage_curve``) so each O(n) fold/sort evaluates once per row
+    rather than once per reference — identical float output.
     """
-    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
-    n = F.size(F.col(tokens_col))
-    mn, mx = F.array_min(x), F.array_max(x)
-    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
-    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
-    mu = s1 / n
-    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    df, s = _stage_curve(df, tokens_col)
+    df = df.withColumns({
+        "__cs_srt": F.array_sort(s.x),
+        "__cs_dec": F.greatest(F.floor(s.n / F.lit(10)).cast("int"),
+                               F.lit(1)),
+    })
+    x, n, mn, mx = s.x, s.n, s.mn, s.mx
+    s1, mu, sigma = s.s1, s.mu, s.sigma
     rng = mx - mn
     p_sum = F.when(rng > 0, (s1 - mn * n) / rng).otherwise(F.lit(0.0))
 
@@ -672,8 +725,8 @@ def with_peace_features(
         ).otherwise(0)
         for i in range(n_chunks)
     )
-    dec = F.greatest(F.floor(n / F.lit(10)).cast("int"), F.lit(1))
-    srt = F.array_sort(x)
+    dec = F.col("__cs_dec")
+    srt = F.col("__cs_srt")
     top_mean = F.aggregate(
         F.slice(F.reverse(srt), 1, dec), F.lit(0.0), lambda a, v: a + v
     ) / dec
@@ -707,7 +760,7 @@ def with_peace_features(
         ) / (n - 1),
     ).otherwise(F.lit(0.0))
 
-    return (
+    return _drop_stage(
         df.withColumn("peace_snr",
                       F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0)))
         .withColumn("peace_duty", p_sum / n)
@@ -738,14 +791,13 @@ def with_spinn_features(
     - spinn_log_n     : ln(n)  [period-axis proxy — DM absent]
     - spinn_contrast  : (max segment mean - mean) / sigma
     - spinn_tail_frac : fraction of samples above mean + 3 sigma
+
+    Shared statistics staged as columns (``_stage_curve``) — each O(n)
+    fold evaluates once per row; identical float output.
     """
-    x = F.transform(F.col(tokens_col), lambda v: v.cast("double"))
-    n = F.size(F.col(tokens_col))
-    mn, mx = F.array_min(x), F.array_max(x)
-    s1 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
-    s2 = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
-    mu = s1 / n
-    sigma = F.sqrt(F.greatest(s2 / n - mu * mu, F.lit(0.0)))
+    df, st = _stage_curve(df, tokens_col)
+    x, n, mn, mx = st.x, st.n, st.mn, st.mx
+    s1, mu, sigma = st.s1, st.mu, st.sigma
     rng = mx - mn
     p_sum = F.when(rng > 0, (s1 - mn * n) / rng).otherwise(F.lit(0.0))
     snr = F.when(sigma > 0, (mx - mu) / sigma).otherwise(F.lit(0.0))
@@ -778,4 +830,5 @@ def with_spinn_features(
         .withColumn("spinn_log_n", F.log(n.cast("double")))
         .withColumn("spinn_contrast", contrast)
         .withColumn("spinn_tail_frac", tail)
+        .transform(_drop_stage)
     )
