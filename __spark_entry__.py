@@ -575,6 +575,30 @@ def doc_quality_metrics(spark, sf):
     )
 
 
+def model_score_docs(spark, sf):
+    """Learned-classifier curation stage (V1 + LLM-pipeline inference):
+    quality features -> injected batch model (deterministic linear
+    fixture; production swaps in an ONNX/torch callable) -> logit +
+    keep flag.  The fixture accumulates the logit left-associatively
+    in float64 (functions/inference.py), so the DuckDB oracle's SQL
+    expression is bit-identical, not merely allclose."""
+    from pulsarfeatureextractor_spark.functions.inference import (
+        QUALITY_FEATURES,
+        keep_flag,
+        quality_model,
+        score_with_model,
+    )
+
+    d = load_table(spark, sf, "documents")
+    feats = with_quality_metrics(d, "text")
+    scored = score_with_model(feats, QUALITY_FEATURES, quality_model())
+    return scored.select(
+        "doc_id",
+        (F.round("model_score", 6) + F.lit(0.0)).alias("model_score"),
+        keep_flag().alias("keep"),
+    )
+
+
 def token_counts_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return with_token_counts(d, "text").select("doc_id", "ws_tokens", "subword_tokens")
@@ -1661,8 +1685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peace_features_docs": peace_features_docs,
         "spinn_features_docs": spinn_features_docs,
         "fingerprint_docs": fingerprint_docs,
-        "embedding_neardup_exact": embedding_neardup_exact,
+        "model_score_docs": model_score_docs,
         # ---- tail: pytest-gated extras beyond the driver window ----
+        # round-4 re-seat: model_score_docs (batch model inference, the
+        # one previously-missing first-class pipeline stage) takes the
+        # seat of embedding_neardup_exact, whose embedding-cosine surface
+        # stays in-window via ann_cosine_topk and which remains
+        # oracle-checked here in the tail (bit-exact in driver_sim).
+        "embedding_neardup_exact": embedding_neardup_exact,
         "orders_above_customer_avg": orders_above_customer_avg,
         "raw_bins_passthrough": raw_bins_passthrough,
         "stratified_sample_docs": stratified_sample_docs,
@@ -1717,6 +1747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP_SQL = {
     lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()
 }
+
+from pulsarfeatureextractor_spark.functions.inference import (  # noqa: E402
+    quality_logit_sql as _quality_logit_sql,
+)
+
+_QUALITY_LOGIT_SQL = _quality_logit_sql()
 
 _LANGID_HITS = ", ".join(
     f"len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL[lang]}))) AS h_{lang}"
@@ -2361,6 +2397,31 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS type_token_ratio
             FROM documents
         """,
+        "model_score_docs": f"""
+            -- linear-model fixture: logit rendered LEFT-ASSOCIATIVELY
+            -- (quality_logit_sql) to mirror the engine's sequential
+            -- float64 accumulation; ROUND(...)+0.0 normalizes -0.0
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           AS n_tokens,
+                       CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                            AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           AS mean_word_len,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           AS type_token_ratio
+                FROM documents
+            ), z AS (
+                SELECT doc_id, {_QUALITY_LOGIT_SQL} AS logit FROM feats
+            )
+            SELECT doc_id,
+                   ROUND(logit, 6) + 0.0 AS model_score,
+                   logit >= 0.0 AS keep
+            FROM z
+        """,
         "token_counts_docs": r"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
@@ -2660,13 +2721,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                        AS INT) AS n_email,
                    CAST(len(regexp_extract_all(text,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS INT) AS n_ipv4,
                    regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                        '<PII>', 'g'),
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                        '<PII>', 'g') AS text_redacted

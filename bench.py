@@ -148,45 +148,60 @@ def _gen_input(spark, n_rows: int, out_dir: str) -> None:
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "snapshots"))
 
 
-def _bench_synthetic(spark, n_rows: int) -> dict[str, float]:
-    import tempfile
+def _timed_min(builder, trials: int) -> float:
+    """Min-of-N wall time; ``builder()`` constructs a FRESH DataFrame
+    per trial (from a fresh ``spark.read``), so Spark cannot reuse a
+    prior trial's shuffle files and fake the timing."""
+    best = None
+    for _ in range(max(trials, 1)):
+        t0 = time.perf_counter()
+        _force(builder())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
+
+def _bench_synthetic(spark, n_rows: int, input_dir: str,
+                     trials: int = 3) -> dict[str, float]:
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
+    from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
     from pulsarfeatureextractor_spark.operators.asof import asof_join
     from pulsarfeatureextractor_spark.sources.tokenized import with_event_time
 
-    tmp = tempfile.mkdtemp(prefix="bench_input_")
-    _gen_input(spark, n_rows, tmp)
-    seqs = with_event_time(spark.read.parquet(os.path.join(tmp, "sequences")))
-    snaps = spark.read.parquet(os.path.join(tmp, "snapshots"))
+    def seqs():
+        return with_event_time(
+            spark.read.parquet(os.path.join(input_dir, "sequences")))
+
+    def snaps():
+        return spark.read.parquet(os.path.join(input_dir, "snapshots"))
 
     out: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    _force(with_lyon_features(seqs).select("doc_id", "mean", "stdev", "skew", "kurt"))
-    out["synthetic_lyon_udf"] = round(time.perf_counter() - t0, 3)
+    out["synthetic_lyon_udf"] = _timed_min(
+        lambda: with_lyon_features(seqs()).select(
+            "doc_id", "mean", "stdev", "skew", "kurt"),
+        trials)
 
-    t0 = time.perf_counter()
-    _force(asof_join(
-        seqs.select("doc_id", "event_time", "n_tok"), snaps,
-        on="event_time", right_on="obs_time", by="doc_id",
-        value_cols=["f_mean", "f_std"], strategy="window",
-    ))
-    out["synthetic_asof_join"] = round(time.perf_counter() - t0, 3)
+    out["synthetic_asof_join"] = _timed_min(
+        lambda: asof_join(
+            seqs().select("doc_id", "event_time", "n_tok"), snaps(),
+            on="event_time", right_on="obs_time", by="doc_id",
+            value_cols=["f_mean", "f_std"], strategy="window",
+        ),
+        trials)
 
-    t0 = time.perf_counter()
-    feats = with_lyon_features(seqs).drop("tokens")
-    _force(asof_join(
-        feats, snaps, on="event_time", right_on="obs_time", by="doc_id",
-        value_cols=["f_mean", "f_std", "f_skew", "f_kurt"], strategy="window",
-    ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt", "f_mean"))
-    out["synthetic_full_pipeline"] = round(time.perf_counter() - t0, 3)
+    out["synthetic_full_pipeline"] = _timed_min(
+        lambda: asof_join(
+            with_lyon_features(seqs()).drop("tokens"), snaps(),
+            on="event_time", right_on="obs_time", by="doc_id",
+            value_cols=["f_mean", "f_std", "f_skew", "f_kurt"],
+            strategy="window",
+        ).select("doc_id", "event_time", "mean", "stdev", "skew", "kurt",
+                 "f_mean"),
+        trials)
 
-    t0 = time.perf_counter()
-    from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
-
-    _force(with_thornton_scores(seqs).drop("tokens"))
-    out["synthetic_thornton_scores"] = round(time.perf_counter() - t0, 3)
+    out["synthetic_thornton_scores"] = _timed_min(
+        lambda: with_thornton_scores(seqs()).drop("tokens"), trials)
 
     # skew resilience: one entity owns 50% of rows.  The window plan
     # serializes the hot entity into one task; the bucketed plan spreads
@@ -213,12 +228,12 @@ def _bench_synthetic(spark, n_rows: int) -> dict[str, float]:
         )
     )
     for strat in ("window", "bucketed"):
-        t0 = time.perf_counter()
-        _force(asof_join(
-            skew_left, skew_right, on="ts", right_on="rts", by="ent",
-            value_cols=["val"], strategy=strat, bucket_seconds=6 * 3600.0,
-        ))
-        out[f"skew_asof_{strat}"] = round(time.perf_counter() - t0, 3)
+        out[f"skew_asof_{strat}"] = _timed_min(
+            lambda s=strat: asof_join(
+                skew_left, skew_right, on="ts", right_on="rts", by="ent",
+                value_cols=["val"], strategy=s, bucket_seconds=6 * 3600.0,
+            ),
+            trials)
     return out
 
 
@@ -357,11 +372,28 @@ def main() -> None:
         # bin-packs into a handful of fat scan tasks (see run_once)
         extra_confs={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
     )
-    queries = _bench_testdata(spark, SF_DIR)
-    queries.update(_bench_synthetic(spark, args.rows))
-    # total = sum of the reported per-query times (testdata queries are
-    # min-of-2-trials; rebuilt plans, so no shuffle reuse across trials),
-    # i.e. the best observed one-pass time for the whole headline set.
+    import tempfile
+
+    input_dir = tempfile.mkdtemp(prefix="bench_input_")
+    _gen_input(spark, args.rows, input_dir)
+
+    # Noise calibration (VERDICT r03 "what's wrong #2"): bracket the
+    # timed section with the pure-CPU capacity probe so the recorded
+    # JSON carries the host's concurrent scaling ceiling — a reviewer
+    # can then tell co-tenant steal from a real regression without
+    # trusting prose.  Probes run BEFORE and AFTER the queries (never
+    # concurrently — they would contaminate the timings themselves).
+    from tools.scaling_hunt import capacity_probe, loadavg
+
+    probe_pre = capacity_probe(input_dir)
+    load_pre = loadavg()
+    queries = _bench_testdata(spark, SF_DIR, trials=3)
+    queries.update(_bench_synthetic(spark, args.rows, input_dir, trials=3))
+    probe_post = capacity_probe(input_dir)
+    load_post = loadavg()
+    # total = sum of the reported per-query times (min-of-3 trials,
+    # rebuilt plans so no shuffle reuse across trials), i.e. the best
+    # observed one-pass time for the whole headline set.
     total = round(sum(queries.values()), 3)
     seq_rate = round(args.rows / queries["synthetic_full_pipeline"], 1)
     print(json.dumps({
@@ -373,6 +405,13 @@ def main() -> None:
         "synthetic_rows": args.rows,
         "sequences_per_sec_full_pipeline": seq_rate,
         "cpus": CPUS,
+        "trials_per_query": 3,
+        # host-regime context: pure-CPU 8->32-proc scaling ceiling of a
+        # perfect shared-nothing program in the same windows (1.0 =
+        # quiet host; ~0.1 = heavy co-tenant steal; see BENCH/BASELINE.md)
+        "ceiling": {"pre": probe_pre["ceiling"],
+                    "post": probe_post["ceiling"]},
+        "loadavg": {"pre": round(load_pre, 2), "post": round(load_post, 2)},
     }))
     spark.stop()
 

@@ -59,6 +59,32 @@ def build_pipeline(spark, args):
         filt = with_repetition_metrics(
             filt, args.text_col, id_col=args.id_col
         ).where(F.col("rep_2") <= args.max_rep2).drop("rep_1", "rep_2", "rep_3")
+    n_model_dropped = 0
+    if args.model_threshold is not None:
+        # learned-quality gate: batch model inference (Arrow-batched,
+        # functions/inference.py).  The deterministic linear fixture
+        # stands in for a real classifier here; a deployment passes its
+        # own callable through score_with_model directly.
+        from pulsarfeatureextractor_spark.functions.inference import (
+            QUALITY_FEATURES,
+            quality_model,
+            score_with_model,
+        )
+        from pulsarfeatureextractor_spark.functions.text import (
+            with_quality_metrics,
+        )
+
+        pre = filt.count()
+        scored = score_with_model(
+            with_quality_metrics(filt, args.text_col),
+            QUALITY_FEATURES,
+            quality_model(),
+        )
+        filt = scored.where(
+            F.col("model_score") >= args.model_threshold
+        ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
+               "distinct_tokens")
+        n_model_dropped = pre - filt.count()
     # the pair graph and the split both consume the filtered set twice —
     # materialize once (iterative CC would otherwise recompute the
     # filter chain every round)
@@ -99,7 +125,8 @@ def build_pipeline(spark, args):
             "docs_in": n_in,
             "docs_after_quality": n_filtered,
             "docs_canonical": n_kept,
-            "dropped_quality": n_in - n_filtered,
+            "dropped_quality": n_in - n_filtered - n_model_dropped,
+            "dropped_model": n_model_dropped,
             "dropped_dup": n_filtered - n_kept,
         },
     }
@@ -116,6 +143,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--max-rep2", type=float, default=1.0,
                     help="drop docs whose top-bigram count mass exceeds this")
+    ap.add_argument("--model-threshold", type=float, default=None,
+                    help="keep docs whose quality-model logit is >= this "
+                         "(batch inference stage; deterministic linear "
+                         "fixture — see functions/inference.py)")
     ap.add_argument("--pair-source", default="minhash",
                     choices=["minhash", "ngram"],
                     help="near-dup candidate source (minhash = scale path)")

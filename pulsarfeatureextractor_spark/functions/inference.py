@@ -1,0 +1,156 @@
+"""Batch model inference over document features — the learned-classifier
+curation stage (VERDICT r03 "missing #4").
+
+Production corpora gate documents on a trained quality classifier, not
+only on heuristics.  This module is the Spark-side plumbing for that
+stage, with the model INJECTED (the container ships no ONNX/torch
+runtime — same gate pattern as the image codecs,
+functions/multimodal.py): the engine owns batching, column assembly,
+Arrow transfer, and schema; the model is any callable
+``(np.ndarray[n, d] float64) -> np.ndarray[n] float64`` — an ONNX
+``InferenceSession.run`` wrapper, a torch ``nn.Module`` under
+``no_grad``, or the deterministic linear fixture below.
+
+Execution posture: ONE scalar pandas UDF over the feature columns —
+Arrow-batched, zero per-row Python, model called once per ~10k-row
+batch (a model that amortizes per-call overhead is exactly the ONNX /
+torch serving shape).  The UDF composes with the surrounding plan: the
+feature columns prune at the scan, the score lands as a plain column,
+and filters on it (``keep``) stay JVM-side.  No shuffle is introduced;
+at 100 TB this stage is a pure map over whatever partitioning the
+pipeline already has.
+
+The deterministic linear fixture (``linear_model``) accumulates
+``bias + w_0*x_0 + w_1*x_1 + ...`` STRICTLY LEFT-TO-RIGHT in float64
+(never np.dot, whose pairwise/SIMD summation reorders), so its output
+is bit-identical to the same left-associative expression evaluated by
+any ANSI engine — which is what makes the correctness query
+(`model_score_docs` in __spark_entry__.py) exactly SQL-oracle-able in
+DuckDB rather than merely allclose.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ModelFn = Callable[[np.ndarray], np.ndarray]
+
+
+def linear_model(
+    weights: "Iterable[float]",
+    bias: float = 0.0,
+    sigmoid: bool = False,
+) -> ModelFn:
+    """Deterministic linear scorer: ``bias + sum_j w_j * x_j``.
+
+    Left-associative sequential accumulation (see module docstring) —
+    the logit is bit-identical to the equivalent SQL expression.
+    ``sigmoid=True`` maps the logit through 1/(1+exp(-z)); exp() is
+    NOT guaranteed bit-identical across engines, so oracle-gated
+    queries should consume the raw logit and threshold on it.
+    """
+    w = [float(x) for x in weights]
+
+    def score(X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != len(w):
+            raise ValueError(
+                f"linear_model: expected (n, {len(w)}) features, got {X.shape}"
+            )
+        z = np.full(X.shape[0], float(bias), dtype=np.float64)
+        for j, wj in enumerate(w):
+            z = z + wj * X[:, j]
+        if sigmoid:
+            z = 1.0 / (1.0 + np.exp(-z))
+        return z
+
+    return score
+
+
+#: Fixture weights for the document-quality logit over
+#: (n_tokens, mean_word_len, type_token_ratio).  Exactly-representable
+#: binary fractions, so every product rounds identically everywhere;
+#: chosen to split the synthetic `documents` table into a meaningful
+#: keep/drop mix (longer, lexically diverse docs score higher).
+QUALITY_FEATURES = ("n_tokens", "mean_word_len", "type_token_ratio")
+QUALITY_WEIGHTS = (0.0078125, 0.25, 1.5)  # 1/128, 1/4, 3/2
+QUALITY_BIAS = -2.5
+
+
+def quality_model() -> ModelFn:
+    """The deterministic stand-in quality classifier (logit output)."""
+    return linear_model(QUALITY_WEIGHTS, QUALITY_BIAS)
+
+
+def quality_logit_sql(feature_exprs: "Iterable[str] | None" = None) -> str:
+    """The fixture's logit as an ANSI-SQL expression (oracle twin).
+
+    ``feature_exprs`` are SQL expressions for the features in
+    QUALITY_FEATURES order; defaults to the column names.  Rendered
+    left-associatively to mirror linear_model's accumulation order.
+    """
+    exprs = list(feature_exprs or QUALITY_FEATURES)
+    z = repr(QUALITY_BIAS)
+    for wj, e in zip(QUALITY_WEIGHTS, exprs):
+        z = f"({z} + {wj!r} * CAST(({e}) AS DOUBLE))"
+    return z
+
+
+def score_with_model(
+    df: DataFrame,
+    feature_cols: "Iterable[str]",
+    model: "ModelFn | None" = None,
+    output_col: str = "model_score",
+) -> DataFrame:
+    """Score every row with an injected batch model (see module doc).
+
+    The model is shipped to executors by closure capture (spark-submit
+    --py-files / cloudpickle); it must be picklable and thread-safe per
+    task.  Heavy runtimes should lazy-init per executor inside the
+    callable (e.g. module-level session cache keyed by model path) —
+    the engine calls it with (batch_rows, n_features) float64 blocks.
+    """
+    cols = list(feature_cols)
+    if model is None:
+        raise NotImplementedError(
+            "score_with_model requires an injected model callable "
+            "(ONNX session wrapper, torch module, or linear_model(...)); "
+            "no model runtime ships in this container"
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(*feats: pd.Series) -> pd.Series:
+        X = np.column_stack(
+            [s.to_numpy(dtype=np.float64, na_value=np.nan) for s in feats]
+        )
+        y = np.asarray(model(X), dtype=np.float64)
+        if y.shape != (len(X),):
+            raise ValueError(
+                f"model returned shape {y.shape}, expected ({len(X)},)"
+            )
+        return pd.Series(y)
+
+    # The model IS deterministic, but the nondeterministic flag is how
+    # Spark is told "evaluate exactly once": a deterministic UDF that a
+    # downstream filter references gets CLONED across the Filter/Project
+    # boundary by the optimizer (two ArrowEvalPython nodes — the model
+    # runs twice per row, observed in PLANS.md before this flag).  For
+    # an expensive classifier, one guaranteed call beats the filter
+    # reorderings the flag gives up.  Output values are unaffected.
+    scorer = _score.asNondeterministic()
+
+    return df.withColumn(
+        output_col, scorer(*[F.col(c).cast("double") for c in cols])
+    )
+
+
+def keep_flag(score_col: str = "model_score", threshold: float = 0.0) -> Column:
+    """JVM-side keep predicate on the scored column (exact float
+    comparison — safe because the logit itself is deterministic)."""
+    return F.col(score_col) >= F.lit(float(threshold))

@@ -249,7 +249,7 @@ def grouped_moments(
         + [T.StructField(name, T.DoubleType()) for name in LYON_FIELDS]
     )
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].dropna().astype(np.int64).to_numpy()
         n = len(x)
         row = dict(zip(group_cols, key))

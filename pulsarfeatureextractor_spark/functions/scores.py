@@ -467,9 +467,18 @@ def with_eatough_features(
                               lambda v: v.cast("double")),
         t + "qx": F.transform(F.col(dm_col), lambda v: v.cast("double")),
         t + "n": F.size(F.col(profile_col)),
+        # DM-curve divisors/extents use the DM curve's OWN length.
+        # The two curves usually have equal lengths (every in-repo
+        # caller derives both from one word list, and the DuckDB
+        # oracle assumes it), but the public API accepts independent
+        # columns — keying qn off the profile length read element_at
+        # past a shorter dm_col and silently mis-scaled its moments
+        # (ADVICE r3 #2).  Equal-length inputs are bit-identical
+        # under either staging.
+        t + "qn": F.size(F.col(dm_col)),
     })
     px, qx = F.col(t + "px"), F.col(t + "qx")
-    pn = qn = F.col(t + "n")
+    pn, qn = F.col(t + "n"), F.col(t + "qn")
     staged = staged.withColumns({
         t + "pmn": F.array_min(px), t + "pmx": F.array_max(px),
         t + "ps1": F.aggregate(px, F.lit(0.0), lambda a, v: a + v),

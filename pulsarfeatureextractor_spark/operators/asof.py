@@ -264,6 +264,7 @@ def prepare_bucketed_asof_table(
     value_cols: "Iterable[str] | None" = None,
     n_buckets: int = 32,
     sort: bool = True,
+    overwrite: bool = False,
 ) -> str:
     """Materialize the as-of union as a BUCKETED storage table — the
     one-time layout shuffle that makes every later as-of query
@@ -305,15 +306,26 @@ def prepare_bucketed_asof_table(
     # DROP TABLE on an EXTERNAL table leaves its files behind: writing a
     # NEW layout to the same path would let the new table's scan pick up
     # stale part files from the prior one (duplicate rows).  Refuse
-    # rather than silently delete a user-supplied directory (ADVICE r2).
-    import os
-
-    if os.path.isdir(path) and os.listdir(path):
-        raise ValueError(
-            f"prepare_bucketed_asof_table: target path {path!r} is "
-            "non-empty (stale files from a prior table?). Point each "
-            "prepare at a fresh directory, or clear it explicitly."
-        )
+    # rather than silently delete a user-supplied directory (ADVICE r2),
+    # UNLESS overwrite=True, which clears the target first.  The check
+    # goes through the Hadoop FileSystem API so non-local URIs
+    # (hdfs://, s3a://) are covered too — a local-only os.listdir guard
+    # silently waved remote paths through (ADVICE r3).  NOTE this makes
+    # re-running prepare on the same path non-idempotent by design:
+    # pass overwrite=True to rebuild a layout in place.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if fs.exists(hpath) and fs.listStatus(hpath):
+        if not overwrite:
+            raise ValueError(
+                f"prepare_bucketed_asof_table: target path {path!r} is "
+                "non-empty (stale files from a prior table?). Point "
+                "each prepare at a fresh directory, or pass "
+                "overwrite=True to clear it."
+            )
+        fs.delete(hpath, True)
     # one file per bucket: repartition on the SAME key/count as bucketBy
     # (identical murmur3 hash → task i holds exactly bucket i) — the
     # single write-time shuffle this layout ever pays
@@ -325,7 +337,11 @@ def prepare_bucketed_asof_table(
     return name
 
 
-def infer_bucket_count(path: str) -> int:
+def infer_bucket_count(
+    path: str,
+    expected: "int | None" = None,
+    allow_collapsed: bool = False,
+) -> int:
     """Bucket count of an on-disk Spark-bucketed parquet directory,
     parsed from the ``part-XXXXX-uuid_YYYYY`` bucket-id suffix.
 
@@ -337,6 +353,16 @@ def infer_bucket_count(path: str) -> int:
     pre-registered scaling run's first cycle — weak_efficiency 3.287
     was the 4-executor leg reading ~1/8 of the table).  Always derive
     the count from the layout; never trust a CLI default.
+
+    Gaps in the observed ids RAISE by default (VERDICT/ADVICE r3): a
+    layout whose ids don't cover 0..max contiguously either wasn't
+    written one-file-per-bucket or — worse — its HIGHEST buckets wrote
+    no file, in which case max+1 silently undercounts (the exact wrong-
+    results class this helper exists to prevent).  ``expected`` (e.g.
+    the writer's configured count) disambiguates the empty-top-bucket
+    case: when given, it is validated against the ids and returned.
+    ``allow_collapsed=True`` restores the old warn-and-return-max+1
+    behavior for layouts known to be legacy/multi-file.
     """
     import os
     import re
@@ -349,15 +375,29 @@ def infer_bucket_count(path: str) -> int:
     if not ids:
         raise ValueError(f"no bucketed part files under {path!r}")
     n = max(ids) + 1
+    if expected is not None:
+        if expected < n:
+            raise ValueError(
+                f"bucketed layout {path!r} carries bucket id {n - 1} "
+                f"but expected count is {expected} — registration with "
+                f"{expected} would silently drop rows; refusing."
+            )
+        # expected >= n: ids are consistent with `expected` buckets of
+        # which the top ones happen to be empty — trust the writer.
+        return expected
     if len(ids) != n:
-        # collapsed/missing bucket ids — layout was not written one
-        # file per bucket; the count is still max+1 but flag loudly
+        msg = (
+            f"bucketed layout {path!r} has {len(ids)} distinct bucket "
+            f"ids, expected {n} contiguous (ids 0..{n - 1}); a gapped "
+            "layout cannot be registered safely from filenames alone — "
+            "pass expected=<writer's bucket count>, or "
+            "allow_collapsed=True to accept max+1 anyway"
+        )
+        if not allow_collapsed:
+            raise ValueError(msg)
         import warnings
 
-        warnings.warn(
-            f"bucketed layout {path!r} has {len(ids)} distinct bucket "
-            f"ids, expected {n} (ids 0..{n-1}); registration uses {n}"
-        )
+        warnings.warn(msg)
     return n
 
 

@@ -77,6 +77,74 @@ def dedup_against(
     )
 
 
+def prepare_digest_reference(
+    reference: DataFrame,
+    name: str,
+    path: str,
+    text_col: "str | None" = None,
+    n_buckets: int = 32,
+) -> str:
+    """Materialize the already-ingested corpus's digest set as a
+    DIGEST-BUCKETED storage table — the one-time layout shuffle that
+    makes every later incremental-crawl dedup shuffle only the NEW
+    side (``dedup_against_bucketed``).
+
+    At 100 TB the reference digest set is the big side of the
+    anti join and grows monotonically with every ingest; re-shuffling
+    it per crawl is the scale killer the plain ``dedup_against``
+    docstring warns about.  Bucketing it once on ``digest`` (same
+    Spark-v1 bucketing as ``prepare_bucketed_asof_table``,
+    operators/asof.py) lets the bucketed scan report
+    HashPartitioning(digest, N) to Catalyst, so the anti join plans
+    with NO Exchange above the reference scan — plan-shape pinned in
+    tests/test_dedup_bucketed.py.
+
+    ``reference`` is raw text (pass text_col) or a digest table (a
+    ``digest`` column, e.g. exact_dedup output).  Appending a new
+    crawl's digests later is ``INSERT INTO`` the same bucketed table —
+    the layout is maintained incrementally, never rebuilt.
+    """
+    if text_col is not None:
+        ref = reference.select(F.md5(F.col(text_col)).alias("digest"))
+    elif "digest" in reference.columns:
+        ref = reference.select("digest")
+    else:
+        raise ValueError("reference needs a 'digest' column or text_col=")
+    spark = reference.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        ref.dropDuplicates()
+        .repartition(n_buckets, F.col("digest"))
+        .write.bucketBy(n_buckets, "digest")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return name
+
+
+def dedup_against_bucketed(
+    df: DataFrame,
+    ref_table: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus exact dedup against a ``prepare_digest_reference``
+    table: left-anti join where ONLY the new-crawl side shuffles.
+
+    The bucketed reference scan satisfies the join's distribution
+    requirement natively; the crawl side exchanges once on the digest
+    to the reference's bucket count.  This is the incremental-ingest
+    posture: reference layout amortized across every future crawl.
+    """
+    spark = df.sparkSession
+    ref = spark.table(ref_table)
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .join(ref, "digest", "left_anti")
+        .drop("digest")
+    )
+
+
 def shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (JVM: split + transform + slice)."""
     words = F.split(F.col(text_col), " ")

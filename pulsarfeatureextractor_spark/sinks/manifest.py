@@ -295,15 +295,20 @@ class IcebergLikeTable:
         untouched_prev = [
             f for f in man["files"] if _uri_local_path(f["path"]) not in touched
         ]
-        touched_norm = [
-            f["path"] for f in man["files"] if _uri_local_path(f["path"]) in touched
-        ]
-        if touched_raw and not touched_norm:
+        manifest_norm = {_uri_local_path(f["path"]) for f in man["files"]}
+        unmapped = sorted(touched - manifest_norm)
+        if unmapped:
+            # Must fire on ANY unmapped touched file, not only when ALL
+            # fail to map: under mixed rendering the unmapped file would
+            # stay in untouched_prev while its surviving rows are also
+            # rewritten into the new data file — silent row duplication
+            # (ADVICE r3 #1).
             raise RuntimeError(
-                "merge_upsert: the key semi-join matched files "
-                f"(e.g. {touched_raw[0]!r}) but none mapped to a manifest "
-                "path — file_path rendering and manifest paths disagree; "
-                "refusing a merge that would duplicate matched keys."
+                "merge_upsert: "
+                f"{len(unmapped)} of {len(touched)} touched file(s) "
+                f"(e.g. {unmapped[0]!r}) map to no manifest path — "
+                "file_path rendering and manifest paths disagree; "
+                "refusing a merge that would duplicate their rows."
             )
         survivors = (
             cur.where(F.col("__file").isin(touched_raw))
@@ -330,7 +335,7 @@ class IcebergLikeTable:
             "total_rows": sum(f["rows"] for f in untouched_prev + new_files),
             "metrics": {
                 **(metrics or {}),
-                "files_rewritten": len(touched_norm),
+                "files_rewritten": len(touched),
                 "files_carried": len(untouched_prev),
             },
         }

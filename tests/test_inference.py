@@ -1,0 +1,151 @@
+"""Batch model-inference stage (functions/inference.py) — VERDICT r03
+next-round item #3: Arrow-batched scoring with an INJECTED model; the
+deterministic linear fixture doubles as the DuckDB-oracle twin for the
+driver-gated `model_score_docs` query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pulsarfeatureextractor_spark.functions.inference import (
+    QUALITY_BIAS,
+    QUALITY_FEATURES,
+    QUALITY_WEIGHTS,
+    keep_flag,
+    linear_model,
+    quality_logit_sql,
+    quality_model,
+    score_with_model,
+)
+from pulsarfeatureextractor_spark.functions.text import with_quality_metrics
+from pulsarfeatureextractor_spark.sources.readers import load_table
+
+
+def make_fake_onnx_session(weights, bias):
+    """ONNX-InferenceSession-shaped fake (records batch sizes).  The
+    class is defined INSIDE this factory so cloudpickle serializes it
+    by value — a module-level test class is pickled by reference and
+    executors cannot import the test module."""
+
+    class FakeOnnxSession:
+        def __init__(self):
+            self._score = linear_model(weights, bias)
+            self.batch_sizes = []
+
+        def run(self, _output_names, feed):  # ONNX-like entry point
+            X = feed["float_input"]
+            self.batch_sizes.append(len(X))
+            return [self._score(X)]
+
+        def __call__(self, X: np.ndarray) -> np.ndarray:  # engine contract
+            return self.run(None, {"float_input": X})[0]
+
+    return FakeOnnxSession()
+
+
+def test_linear_model_matches_sequential_accumulation():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(100, 3))
+    m = linear_model([0.5, -0.25, 2.0], 1.5)
+    z = np.full(100, 1.5)
+    for j, w in enumerate([0.5, -0.25, 2.0]):
+        z = z + w * X[:, j]
+    assert np.array_equal(m(X), z)  # bit-exact, not allclose
+
+
+def test_linear_model_rejects_wrong_width():
+    m = linear_model([1.0, 2.0])
+    with pytest.raises(ValueError, match="expected"):
+        m(np.zeros((4, 3)))
+
+
+def test_score_with_model_requires_injection(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(NotImplementedError, match="injected model"):
+        score_with_model(with_quality_metrics(d), QUALITY_FEATURES)
+
+
+def test_scores_match_numpy_reference_and_batched(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    feats = with_quality_metrics(d)
+    fake = make_fake_onnx_session(QUALITY_WEIGHTS, QUALITY_BIAS)
+    rows = (
+        score_with_model(feats, QUALITY_FEATURES, fake)
+        .select("doc_id", *QUALITY_FEATURES, "model_score")
+        .collect()
+    )
+    assert rows
+    # independent numpy differential on the collected feature values
+    ref = quality_model()
+    X = np.array(
+        [[float(r[c]) for c in QUALITY_FEATURES] for r in rows],
+        dtype=np.float64,
+    )
+    expect = ref(X)
+    got = np.array([r["model_score"] for r in rows])
+    assert np.array_equal(got, expect)  # fixture is deterministic: bit-exact
+
+
+def test_model_called_batched_not_per_row(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    n = d.count()
+    assert n > 1
+    fake = make_fake_onnx_session(QUALITY_WEIGHTS, QUALITY_BIAS)
+    out = score_with_model(
+        with_quality_metrics(d).coalesce(1), QUALITY_FEATURES, fake
+    )
+    scored = out.where(keep_flag(threshold=-100.0)).count()
+    assert scored == n
+    # the fake runs on executors; its driver-side copy saw nothing —
+    # so prove batching structurally instead: a model that REJECTS
+    # batches smaller than the full partition still succeeds.
+    class MinBatch:
+        def __call__(self, X):
+            if len(X) < 2:
+                raise AssertionError("called per-row")
+            return np.zeros(len(X))
+
+    assert (
+        score_with_model(
+            with_quality_metrics(d).coalesce(1), QUALITY_FEATURES, MinBatch()
+        ).agg(F.sum("model_score")).collect()[0][0] == 0.0
+    )
+
+
+def test_logit_sql_twin_renders_left_assoc():
+    sql = quality_logit_sql(["a", "b", "c"])
+    # innermost term is the bias + first weight — left association
+    assert sql.startswith("(((")
+    assert repr(QUALITY_BIAS) in sql
+    for w in QUALITY_WEIGHTS:
+        assert repr(w) in sql
+
+
+def test_spark_scores_equal_duckdb_logit(spark, sf_correct):
+    """End-to-end twin of the driver check for model_score_docs."""
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()["model_score_docs"](spark, sf_correct)
+    got = {
+        r["doc_id"]: (r["model_score"], r["keep"]) for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_correct}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            entrymod.oracle_sql()["model_score_docs"]
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        gs, gk = got[k]
+        ws, wk = want[k]
+        assert gk == wk, k
+        assert np.float64(gs).tobytes() == np.float64(ws).tobytes(), k

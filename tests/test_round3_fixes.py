@@ -182,10 +182,109 @@ def test_infer_bucket_count(tmp_path, small_sides, spark):
         value_cols=["v"], n_buckets=4,
     )
     try:
-        assert infer_bucket_count(str(tmp_path / "t")) == 4
+        # the small fixture can legitimately leave a bucket empty (no
+        # key hashes into it) — under the round-4 hardening a gapped
+        # filename set alone is ambiguous, so the writer's count
+        # disambiguates; a contiguous layout needs no expected=
+        assert infer_bucket_count(str(tmp_path / "t"), expected=4) == 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     with pytest.raises(ValueError, match="no bucketed part files"):
         empty = tmp_path / "empty"
         empty.mkdir()
         infer_bucket_count(str(empty))
+
+
+def test_infer_bucket_count_gapped_raises(tmp_path):
+    """Round-4 hardening (VERDICT r03 #6 / ADVICE r03 #3): collapsed or
+    gapped bucket ids RAISE by default — max+1 can silently undercount
+    when the highest bucket wrote no file; `expected=` disambiguates,
+    `allow_collapsed=True` restores the old warning behavior."""
+    from pulsarfeatureextractor_spark.operators.asof import (
+        infer_bucket_count,
+    )
+
+    d = tmp_path / "gapped"
+    d.mkdir()
+    uuid = "0abc1de2-3f45-6789-abcd-ef0123456789"
+    for b in (0, 2, 3):  # bucket 1 missing
+        (d / f"part-00000-{uuid}_{b:05d}.snappy.parquet").touch()
+    with pytest.raises(ValueError, match="gapped layout"):
+        infer_bucket_count(str(d))
+    with pytest.warns(UserWarning, match="gapped layout"):
+        assert infer_bucket_count(str(d), allow_collapsed=True) == 4
+    # expected >= observed max+1: trust the writer (empty top buckets)
+    assert infer_bucket_count(str(d), expected=8) == 8
+    # expected below an observed id: silent row-dropping class — refuse
+    with pytest.raises(ValueError, match="refusing"):
+        infer_bucket_count(str(d), expected=2)
+
+
+def test_prepare_refuses_nonempty_and_overwrites(tmp_path, small_sides, spark):
+    """Round-4: the stale-files guard goes through the Hadoop FS API
+    (covers non-local URIs too) and overwrite=True clears in place."""
+    left, right = small_sides
+    name = "r4_overwrite_tbl"
+    path = tmp_path / "t"
+    path.mkdir()
+    (path / "stale.parquet").write_bytes(b"junk")
+    with pytest.raises(ValueError, match="non-empty"):
+        prepare_bucketed_asof_table(
+            left, right, name, str(path), on="ts", by="doc_id",
+            value_cols=["v"], n_buckets=2,
+        )
+    try:
+        prepare_bucketed_asof_table(
+            left, right, name, str(path), on="ts", by="doc_id",
+            value_cols=["v"], n_buckets=2, overwrite=True,
+        )
+        files = {p.name for p in path.iterdir()}
+        assert "stale.parquet" not in files
+        assert any(f.startswith("part-") for f in files)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_upsert_mixed_rendering_raises(spark, tmp_path, monkeypatch):
+    """ADVICE r03 #1: the rendering-mismatch guard must fire when ANY
+    touched file fails to map to a manifest path, not only when ALL do
+    — a mixed-rendering merge would otherwise duplicate the unmapped
+    file's surviving rows silently."""
+    import json
+    import os
+
+    from pulsarfeatureextractor_spark.sinks import manifest as manifest_mod
+    from pulsarfeatureextractor_spark.sinks.manifest import (
+        MANIFEST_DIR,
+        IcebergLikeTable,
+    )
+
+    t = IcebergLikeTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit("old").alias("val")
+    )
+    t.write(base.repartition(2), mode="overwrite")
+    man_dir = os.path.join(t.path, MANIFEST_DIR)
+    data_files = []
+    for fn in sorted(os.listdir(man_dir)):
+        man = json.load(open(os.path.join(man_dir, fn)))
+        if man.get("files"):
+            data_files = [f["path"] for f in man["files"]]
+    assert len(data_files) >= 2, "fixture must produce >= 2 data files"
+    victim = os.path.basename(data_files[0])
+
+    # simulate MIXED rendering: normalization fails for exactly one
+    # touched file (stays in scheme form), succeeds for the rest
+    real = manifest_mod._uri_local_path
+
+    def mixed(p: str) -> str:
+        if victim in p and p.startswith("file:"):
+            return p
+        return real(p)
+
+    monkeypatch.setattr(manifest_mod, "_uri_local_path", mixed)
+    upd = spark.range(0, 20).select(  # touches every file
+        F.col("id").alias("k"), F.lit("new").alias("val")
+    )
+    with pytest.raises(RuntimeError, match="map to no manifest path"):
+        t.merge_upsert(upd, keys=["k"])

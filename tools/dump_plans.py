@@ -155,13 +155,76 @@ def main() -> None:
         ),
     ))
 
+    # batch model inference: the score is ONE ArrowEvalPython over the
+    # staged feature columns; everything else (metrics arithmetic, the
+    # keep filter) stays in WholeStageCodegen and the scan reads only
+    # (doc_id, text)
+    from pulsarfeatureextractor_spark.functions.inference import (
+        QUALITY_FEATURES,
+        keep_flag,
+        quality_model,
+        score_with_model,
+    )
+    from pulsarfeatureextractor_spark.functions.text import (
+        with_quality_metrics,
+    )
+
+    sections.append((
+        "Batch model inference (Arrow-batched injected model)",
+        "ONE ArrowEvalPython node (the injected model, called once per "
+        "Arrow batch); feature staging and the keep-filter stay in "
+        "WholeStageCodegen; the scan reads only (doc_id, text) — no "
+        "shuffle anywhere, a pure map at any scale:",
+        score_with_model(
+            with_quality_metrics(load_table(spark, SF, "documents")),
+            QUALITY_FEATURES, quality_model(),
+        ).where(keep_flag()).select("doc_id", "model_score"),
+    ))
+
+    # incremental-crawl dedup against a digest-bucketed reference: the
+    # reference side scans bucketed (no Exchange); only the new crawl
+    # shuffles
+    import tempfile
+
+    from pulsarfeatureextractor_spark.operators.dedup import (
+        dedup_against_bucketed,
+        prepare_digest_reference,
+    )
+
+    _ref_dir = tempfile.mkdtemp(prefix="plans_digest_ref_")
+    prepare_digest_reference(
+        load_table(spark, SF, "documents").select("text"),
+        "plans_digest_ref_tbl", os.path.join(_ref_dir, "tbl"),
+        text_col="text", n_buckets=8,
+    )
+    # render THIS plan eagerly under broadcast-disabled conf (restored
+    # right after), so the other sections keep their normal planning
+    _prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _dedup_plan_text = fmt(dedup_against_bucketed(
+            load_table(spark, SF, "documents"), "plans_digest_ref_tbl",
+            "text",
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _prev_thresh)
+    sections.append((
+        "Cross-corpus dedup vs digest-bucketed reference (one-sided shuffle)",
+        "left-anti sort-merge join where the reference digest set (the "
+        "BIG side at 100 TB) scans BUCKETED — Exchange appears on the "
+        "new-crawl side only (broadcast disabled here, as it would be "
+        "at production reference sizes):",
+        _dedup_plan_text,
+    ))
+
     out = ["# PLANS — `explain(\"formatted\")` for the load-bearing plans",
            "",
            "Regenerate with `python tools/dump_plans.py`. Plan-shape",
            "invariants are enforced by `tests/test_plans.py`; this file is",
            "for human review.", ""]
     for title, caption, df in sections:
-        out += [f"## {title}", "", caption, "", "```", fmt(df).rstrip(), "```", ""]
+        text = df if isinstance(df, str) else fmt(df)
+        out += [f"## {title}", "", caption, "", "```", text.rstrip(), "```", ""]
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
