@@ -98,3 +98,51 @@ def test_curate_job_end_to_end(spark, tmp_path):
     m = side["metrics"]
     assert m["docs_in"] >= m["docs_after_quality"] >= m["docs_canonical"] > 0
     assert m["dropped_dup"] > 0  # the fixtures plant near-dups
+
+
+def test_curate_job_model_filter_stage(spark, tmp_path):
+    """Round-4: the optional learned-quality gate (--model-threshold)
+    drops exactly the docs whose fixture logit is below the threshold,
+    and the lineage metrics account for them separately."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pulsarfeatureextractor_spark.functions.inference import (
+        QUALITY_FEATURES,
+        quality_model,
+        score_with_model,
+    )
+    from pulsarfeatureextractor_spark.functions.text import (
+        with_quality_metrics,
+        words_col,
+    )
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "curated_model")
+    threshold = 0.0
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20", "--model-threshold", str(threshold),
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    # independent expectation: which docs pass length + model gates
+    docs = spark.read.parquet(src)
+    lengthy = docs.where(F.size(words_col("text")) >= 20)
+    scored = score_with_model(
+        with_quality_metrics(lengthy), QUALITY_FEATURES, quality_model()
+    )
+    expect_pass = scored.where(F.col("model_score") >= threshold)
+    n_len, n_pass = lengthy.count(), expect_pass.count()
+    assert 0 < n_pass < n_len  # the gate actually splits the corpus
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    m = side["metrics"]
+    assert m["dropped_model"] == n_len - n_pass
+    assert m["docs_after_quality"] == n_pass
+    # every surviving doc's id is in the model-pass set
+    pass_ids = {r["doc_id"] for r in expect_pass.select("doc_id").collect()}
+    out_ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert out_ids <= pass_ids
