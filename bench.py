@@ -121,7 +121,8 @@ def _pipeline_from(seqs, snaps, scores: bool = False):
              "f_mean", "f_std")
 
 
-def _gen_input(spark, n_rows: int, out_dir: str) -> None:
+def _gen_input(spark, n_rows: int, out_dir: str,
+               n_files: int = 256) -> None:
     """Materialize the seed-deterministic bench input ONCE as parquet.
 
     JVM-only distributed generation (no driver-side pandas): the same
@@ -138,7 +139,6 @@ def _gen_input(spark, n_rows: int, out_dir: str) -> None:
     # files of ~13 MB became EIGHT scan tasks, capping the feature stage
     # at 8-way parallelism regardless of cores.  Write enough files that
     # every parallelism level gets multiple waves of work.
-    n_files = 256
     synthetic_sequences_distributed(
         spark, n_rows, n_partitions=n_files
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "sequences"))

@@ -107,10 +107,12 @@ class Cluster:
     harnesses can never cross-register workers (a shared well-known
     port once silently merged two clusters into one 64-core pool)."""
 
-    def __init__(self, n_workers: int, cores_per_worker: int = 8):
+    def __init__(self, n_workers: int, cores_per_worker: int = 8,
+                 worker_memory: str = "14g"):
         self.procs: list[subprocess.Popen] = []
         self.n_workers = n_workers
         self.cores = cores_per_worker
+        self.worker_memory = worker_memory
         self.master_url = ""
 
     def __enter__(self):
@@ -131,7 +133,7 @@ class Cluster:
             self.procs.append(_spark_class(
                 "org.apache.spark.deploy.worker.Worker",
                 ["--host", "127.0.0.1", "--cores", str(self.cores),
-                 "--memory", "14g", "--work-dir", work_dir,
+                 "--memory", self.worker_memory, "--work-dir", work_dir,
                  "--webui-port", str(_free_port()), self.master_url],
                 taskset=f"{lo}-{hi}",
                 env_extra={"SPARK_LOCAL_DIRS": work_dir}))
@@ -152,14 +154,16 @@ class Cluster:
 def submit(input_dir: str, zip_path: str, total_cores: int, runs: int,
            extra_confs: "list[str] | None" = None,
            master_url: str = "",
-           job_args: "list[str] | None" = None) -> dict:
+           job_args: "list[str] | None" = None,
+           executor_cores: int = 8,
+           executor_memory: str = "10g") -> dict:
     spark_submit = os.path.join(_pyspark_home(), "bin", "spark-submit")
     cmd = [
         spark_submit, "--master", master_url,
         "--deploy-mode", "client",
         "--py-files", zip_path,
-        "--conf", "spark.executor.cores=8",
-        "--conf", "spark.executor.memory=10g",
+        "--conf", f"spark.executor.cores={executor_cores}",
+        "--conf", f"spark.executor.memory={executor_memory}",
         "--conf", f"spark.sql.shuffle.partitions={max(total_cores, 8)}",
         "--conf", "spark.sql.files.maxPartitionBytes=8388608",
         "--conf", "spark.ui.enabled=false",

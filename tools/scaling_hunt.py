@@ -70,14 +70,23 @@ def _pool_rate(n_procs: int, files: list[str], pin: bool) -> float:
     return sum(r for r, _ in res) / wall
 
 
-def capacity_probe(input_dir: str, n_files: int = 32) -> dict:
-    """Instantaneous machine scaling ceiling on the real numpy kernel."""
+def capacity_probe(input_dir: str, n_files: int = 32,
+                   n_small: int = 8, n_large: int = 32) -> dict:
+    """Instantaneous machine scaling ceiling on the real numpy kernel.
+
+    ``n_small`` / ``n_large`` mirror the cluster legs' core counts
+    (default 8 vs 32).  The small level is always pinned to its core
+    range; the large level is pinned too when it uses a strict subset
+    of the machine (e.g. the 2-core-executor variant probes 2 vs 8
+    pinned procs), and unpinned only at full machine width."""
     files = sorted(glob.glob(os.path.join(input_dir, "sequences", "part-*")))
     files = files[:n_files]
-    r8 = _pool_rate(8, files, pin=True)
-    r32 = _pool_rate(32, files, pin=False)
-    return {"cpu8_rows_per_sec": round(r8, 0), "cpu32_rows_per_sec": round(r32, 0),
-            "ceiling": round(r32 / (4 * r8), 3)}
+    r_small = _pool_rate(n_small, files, pin=True)
+    ncpu = os.cpu_count() or 32
+    r_large = _pool_rate(n_large, files, pin=n_large < ncpu)
+    return {f"cpu{n_small}_rows_per_sec": round(r_small, 0),
+            f"cpu{n_large}_rows_per_sec": round(r_large, 0),
+            "ceiling": round(r_large / (4 * r_small), 3)}
 
 
 def loadavg() -> float:

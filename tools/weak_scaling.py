@@ -47,20 +47,35 @@ from tools.scaling_hunt import capacity_probe, loadavg  # noqa: E402
 
 
 def one_cycle(small_dir: str, large_dir: str, zip_path: str,
-              runs: int, job_args: "list[str] | None" = None) -> dict:
+              runs: int, job_args: "list[str] | None" = None,
+              cores_per_worker: int = 8) -> dict:
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "load_pre": loadavg()}
     if job_args:
         rec["job_args"] = job_args
-    rec["capacity"] = capacity_probe(large_dir)
-    with Cluster(4) as c4:
-        rec["exec4_large"] = submit(large_dir, zip_path, 32, runs,
+    if cores_per_worker != 8:
+        rec["cores_per_worker"] = cores_per_worker
+    # per-executor memory scaled to core share; worker offer slightly above
+    exec_mem = f"{max(2, cores_per_worker * 10 // 8)}g"
+    worker_mem = f"{max(3, cores_per_worker * 14 // 8)}g"
+    rec["capacity"] = capacity_probe(
+        large_dir, n_small=cores_per_worker, n_large=4 * cores_per_worker)
+    with Cluster(4, cores_per_worker=cores_per_worker,
+                 worker_memory=worker_mem) as c4:
+        rec["exec4_large"] = submit(large_dir, zip_path,
+                                    4 * cores_per_worker, runs,
                                     master_url=c4.master_url,
-                                    job_args=job_args)
+                                    job_args=job_args,
+                                    executor_cores=cores_per_worker,
+                                    executor_memory=exec_mem)
     rec["load_mid"] = loadavg()
-    with Cluster(1) as c1:
-        rec["exec1_small"] = submit(small_dir, zip_path, 8, runs,
+    with Cluster(1, cores_per_worker=cores_per_worker,
+                 worker_memory=worker_mem) as c1:
+        rec["exec1_small"] = submit(small_dir, zip_path, cores_per_worker,
+                                    runs,
                                     master_url=c1.master_url,
-                                    job_args=job_args)
+                                    job_args=job_args,
+                                    executor_cores=cores_per_worker,
+                                    executor_memory=exec_mem)
     rec["load_post"] = loadavg()
     t1, t4 = rec["exec1_small"]["sec"], rec["exec4_large"]["sec"]
     rec["weak_efficiency"] = round(t1 / t4, 3)
@@ -80,6 +95,13 @@ def main() -> None:
                     help="scaling_job plan override (e.g. 'storage'); "
                          "'storage' adds --presorted (the zero-Exchange "
                          "production posture, the r03 gate subject)")
+    ap.add_argument("--cores-per-worker", type=int, default=8,
+                    help="executor size: N and 4N executors of THIS many "
+                         "cores each.  2-core executors (8 cores total) "
+                         "keep aggregate DRAM demand inside the host's "
+                         "measured bandwidth envelope — the "
+                         "within-envelope instantiation of the N->4N "
+                         "rule on a single shared-memory host")
     args = ap.parse_args()
 
     job_args: "list[str] | None" = None
@@ -103,7 +125,8 @@ def main() -> None:
     for i in range(args.cycles):
         try:
             rec = one_cycle(args.small_dir, args.large_dir, zip_path,
-                            args.runs, job_args=job_args)
+                            args.runs, job_args=job_args,
+                            cores_per_worker=args.cores_per_worker)
         except Exception as exc:  # record the window, keep hunting
             rec = {"ts": time.strftime("%H:%M:%S"), "error": str(exc)[:500]}
         with open(args.out, "a") as f:
