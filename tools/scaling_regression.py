@@ -29,7 +29,16 @@ import os
 import statistics
 
 
-def load_cycles(paths: "list[str]") -> "list[dict]":
+def load_cycles(paths: "list[str]",
+                exclude: "list[str] | None" = None) -> "list[dict]":
+    """Load cycles; `exclude` drops records by "basename:ts:eff" triple.
+
+    Used for the batch-3 twin: PROTOCOL_r04.md's incident disclosure fixes
+    the batch-3 sample as ONE of the two indistinguishable 15:30:00 twin
+    records (the lower efficiency, 0.264) plus the surviving runner's seven
+    cycles — so the higher twin (0.266) is excluded here, explicitly.
+    """
+    excl = set(exclude or [])
     cycles = []
     for path in paths:
         if not os.path.exists(path):
@@ -48,6 +57,10 @@ def load_cycles(paths: "list[str]") -> "list[dict]":
                 ceil = rec.get("ceiling_strong",
                                rec.get("capacity", {}).get("ceiling"))
                 if eff is None or ceil is None:
+                    continue
+                key = "%s:%s:%.3f" % (os.path.basename(path),
+                                      rec.get("ts"), float(eff))
+                if key in excl:
                     continue
                 cycles.append({"file": os.path.basename(path),
                                "ts": rec.get("ts"),
@@ -89,9 +102,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--inputs", nargs="+", required=True)
     ap.add_argument("--out", default="BENCH/scaling_regression_r04.json")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="drop records by basename:ts:eff triple")
     args = ap.parse_args()
 
-    cycles = load_cycles(args.inputs)
+    cycles = load_cycles(args.inputs, exclude=args.exclude)
     errors = [c for c in cycles if "error" in c]
     good = [c for c in cycles if "error" not in c]
     result = {
