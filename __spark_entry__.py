@@ -1615,6 +1615,46 @@ def asof_storage_plan_purchases(spark, sf):
     )
 
 
+def asof_broadcast_plan_purchases(spark, sf):
+    """J1 FIFTH physical plan — broadcast: the (small) purchase side is
+    collapsed into per-entity time-sorted arrays by ONE hash aggregate
+    and broadcast-hash-joined onto the view stream, which is never
+    shuffled or sorted (tests/test_asof.py::test_broadcast_plan_shape
+    pins the shape).  The 100 TB-left / GB-right regime's cheapest
+    plan: zero Exchange on the big side.  Same DuckDB native-ASOF
+    oracle as the other four plans."""
+    e = load_table(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="broadcast",
+    )
+
+
+def expectations_docs(spark, sf):
+    """Declarative data-quality gate (functions/quality_checks.py):
+    null counts, key uniqueness, value range, and format regex over
+    documents — every rule folded into ONE aggregate pass (one
+    column-pruned scan; the exact-uniqueness rule adds the one
+    COUNT(DISTINCT) expansion).  Deequ-shaped surface the curation
+    pipeline gates ingests on."""
+    from pulsarfeatureextractor_spark.functions import quality_checks as qc
+
+    d = load_table(spark, sf, "documents")
+    rules = [
+        qc.expect_not_null("text"),
+        qc.expect_unique("doc_id"),
+        qc.expect_in_range("n_chars", 0, 10_000_000),
+        qc.expect_matches("lang", "^[a-z]{2}$"),
+    ]
+    return qc.expectation_metrics(d, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -1721,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_customers_without_orders": segment_customers_without_orders,
         "asof_tolerance_1d": asof_tolerance_1d,
         "asof_storage_plan_purchases": asof_storage_plan_purchases,
+        "asof_broadcast_plan_purchases": asof_broadcast_plan_purchases,
         "bfill_purchase_value": bfill_purchase_value,
         "user_activity_features": user_activity_features,
         "profile_stats_docs": profile_stats_docs,
@@ -1737,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats_summary": media_stats_summary,
         "media_frame_samples": media_frame_samples,
         "subint_scores_docs": subint_scores_docs,
+        "expectations_docs": expectations_docs,
     }
 
 
@@ -3036,6 +3078,18 @@ def oracle_sql() -> dict[str, str]:
     out["lyon_pandas_udf_docs"] = out["lyon_features_docs"]
     out["streaming_stateful_asof_events"] = out["asof_purchase_before_view"]
     out["asof_storage_plan_purchases"] = out["asof_purchase_before_view"]
+    out["asof_broadcast_plan_purchases"] = out["asof_purchase_before_view"]
+    out["expectations_docs"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_null_count,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct_count,
+               CAST(COUNT(doc_id) AS BIGINT) AS doc_id_nonnull_count,
+               CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 10000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_out_of_range_count,
+               CAST(SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS lang_regex_violation_count
+        FROM documents
+    """
     # PHCX ingest: expected rows from the SAME pure-python truth the
     # fixture writer uses — deterministic, sf-independent
     from pulsarfeatureextractor_spark.sources.candidates import (

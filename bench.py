@@ -190,6 +190,17 @@ def _bench_synthetic(spark, n_rows: int, input_dir: str,
         ),
         trials)
 
+    # same join, broadcast plan: the snapshot side (n_rows/10) collapses
+    # to per-entity sorted arrays broadcast onto an unshuffled left —
+    # the 100 TB-left / small-right posture's headline number
+    out["synthetic_asof_broadcast"] = _timed_min(
+        lambda: asof_join(
+            seqs().select("doc_id", "event_time", "n_tok"), snaps(),
+            on="event_time", right_on="obs_time", by="doc_id",
+            value_cols=["f_mean", "f_std"], strategy="broadcast",
+        ),
+        trials)
+
     out["synthetic_full_pipeline"] = _timed_min(
         lambda: asof_join(
             with_lyon_features(seqs()).drop("tokens"), snaps(),

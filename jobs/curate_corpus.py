@@ -37,6 +37,42 @@ def parse_weights(spec: str):
     return out
 
 
+def parse_expectations(spec: str):
+    """Rule mini-language for --expectations: semicolon-separated rules,
+    colon-separated fields, e.g.
+
+        not_null:text;unique:doc_id;in_range:n_chars:0:1000000;matches:lang:^[a-z]{2}$
+
+    (the regex is everything after the second colon, so it may itself
+    contain colons — but not semicolons)."""
+    from pulsarfeatureextractor_spark.functions import quality_checks as qc
+
+    rules = []
+    for raw in spec.split(";"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        kind, _, rest = raw.partition(":")
+        if kind == "not_null":
+            rules.append(qc.expect_not_null(rest))
+        elif kind == "unique":
+            rules.append(qc.expect_unique(rest))
+        elif kind == "unique_approx":
+            rules.append(qc.expect_unique(rest, exact=False))
+        elif kind == "in_range":
+            col, lo, hi = rest.rsplit(":", 2)
+            rules.append(qc.expect_in_range(col, float(lo), float(hi)))
+        elif kind == "matches":
+            col, _, regex = rest.partition(":")
+            rules.append(qc.expect_matches(col, regex))
+        elif kind == "in_set":
+            col, _, vals = rest.partition(":")
+            rules.append(qc.expect_in_set(col, vals.split(",")))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+    return rules
+
+
 def build_pipeline(spark, args):
     from pyspark.sql import functions as F
 
@@ -52,6 +88,23 @@ def build_pipeline(spark, args):
     )
 
     docs = spark.read.parquet(args.input)
+
+    contract = None
+    if args.expectations:
+        # ingest contract gate: ONE aggregate pass over the raw scan
+        # (functions/quality_checks.py) BEFORE any curation spend
+        from pulsarfeatureextractor_spark.functions.quality_checks import (
+            validate_expectations,
+        )
+
+        contract = validate_expectations(docs, parse_expectations(args.expectations))
+        if not contract["passed"] and args.expectations_action == "fail":
+            raise RuntimeError(
+                "input violates data contract: "
+                + ", ".join(contract["failures"])
+                + f" (metrics: {contract['metrics']})"
+            )
+
     n_in = docs.count()
 
     filt = docs.where(F.size(words_col(args.text_col)) >= args.min_tokens)
@@ -121,6 +174,7 @@ def build_pipeline(spark, args):
         "input": args.input,
         "pair_source": args.pair_source,
         "seed": args.seed,
+        "contract": contract,
         "metrics": {
             "docs_in": n_in,
             "docs_after_quality": n_filtered,
@@ -147,6 +201,15 @@ def main(argv=None) -> dict:
                     help="keep docs whose quality-model logit is >= this "
                          "(batch inference stage; deterministic linear "
                          "fixture — see functions/inference.py)")
+    ap.add_argument("--expectations", default=None,
+                    help="semicolon-separated data-contract rules checked "
+                         "in ONE pass before curation, e.g. "
+                         "'not_null:text;unique:doc_id;in_range:n_chars:0:1e6' "
+                         "(see parse_expectations)")
+    ap.add_argument("--expectations-action", default="fail",
+                    choices=["fail", "warn"],
+                    help="fail: abort on contract violation; warn: record "
+                         "the violation in lineage and continue")
     ap.add_argument("--pair-source", default="minhash",
                     choices=["minhash", "ngram"],
                     help="near-dup candidate source (minhash = scale path)")

@@ -1,0 +1,144 @@
+"""Declarative data-quality expectations — ONE aggregate pass.
+
+A training-data pipeline gates every ingest on contract checks (null
+rates, key uniqueness, value ranges, format regexes).  Deequ-style
+engines compute each check as its own job; at 100 TB that is N full
+scans.  Here every rule compiles to aggregate EXPRESSIONS folded into
+a single ``df.agg(...)`` — one column-pruned scan, one partial-agg
+shuffle of ONE row per partition, regardless of rule count.  The
+metrics row is metadata-sized, so the driver-side verdict
+(`validate_expectations`) collects exactly one row.
+
+Scale notes:
+- uniqueness: ``exact=True`` uses COUNT(DISTINCT col) (Spark expands
+  it into a two-stage agg — one extra shuffle keyed on the column);
+  ``exact=False`` uses HLL ``approx_count_distinct`` which stays in
+  the single-pass plan.  At 10^12 rows use approx for gating and the
+  exact dedup operators (operators/dedup.py) for enforcement.
+- all other rules are pure map-side conditional sums: no extra
+  shuffle, whole-stage codegen, no Python.
+
+No counterpart in the reference (per-file offline tool, no data
+contracts); this is the LLM-pipeline brief's curation surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule: named aggregate expressions + a verdict over them.
+
+    ``metrics``  : () -> {metric name: Column aggregate expression} —
+                   LAZY, so rule lists are plain data constructible
+                   before any SparkSession exists (Column expressions
+                   need a live context)
+    ``verdict``  : metric values dict -> True when the rule HOLDS
+    """
+
+    name: str
+    metrics: "Callable[[], dict[str, Column]]" = field(compare=False)
+    verdict: "Callable[[dict], bool]" = field(compare=False)
+
+
+def _violations(name: str, cond: "Callable[[], Column]"):
+    return lambda: {
+        name: F.sum(F.when(cond(), F.lit(1)).otherwise(F.lit(0))).cast("long")
+    }
+
+
+def expect_not_null(col: str) -> Expectation:
+    m = f"{col}_null_count"
+    return Expectation(
+        name=f"not_null({col})",
+        metrics=_violations(m, lambda: F.col(col).isNull()),
+        verdict=lambda row, m=m: row[m] == 0,
+    )
+
+
+def expect_unique(col: str, exact: bool = True) -> Expectation:
+    """Rule holds when distinct(col) == rows with non-null col.
+
+    ``exact=False`` swaps in approx_count_distinct (HLL±~2%) and a
+    tolerance verdict — the 100 TB gating posture.
+    """
+    d = f"{col}_distinct_count"
+    n = f"{col}_nonnull_count"
+    tol = 0.0 if exact else 0.05
+
+    def metrics():
+        cnt = (F.countDistinct(F.col(col)) if exact
+               else F.approx_count_distinct(F.col(col)))
+        return {d: cnt.cast("long"),
+                n: F.count(F.col(col)).cast("long")}
+
+    return Expectation(
+        name=f"unique({col})",
+        metrics=metrics,
+        verdict=lambda row, d=d, n=n, tol=tol:
+            row[n] == 0 or row[d] >= row[n] * (1.0 - tol),
+    )
+
+
+def expect_in_range(col: str, lo, hi) -> Expectation:
+    """Violation: NULL or outside [lo, hi] — a null fails in_range
+    (pair with expect_not_null only when you want a separate count)."""
+    m = f"{col}_out_of_range_count"
+    return Expectation(
+        name=f"in_range({col}, {lo}, {hi})",
+        metrics=_violations(m, lambda: (
+            F.col(col).isNull()
+            | (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)))),
+        verdict=lambda row, m=m: row[m] == 0,
+    )
+
+
+def expect_matches(col: str, regex: str) -> Expectation:
+    m = f"{col}_regex_violation_count"
+    return Expectation(
+        name=f"matches({col}, {regex!r})",
+        metrics=_violations(
+            m, lambda: F.col(col).isNull() | ~F.col(col).rlike(regex)),
+        verdict=lambda row, m=m: row[m] == 0,
+    )
+
+
+def expect_in_set(col: str, values: Iterable) -> Expectation:
+    vals = sorted(set(values))
+    m = f"{col}_out_of_set_count"
+    return Expectation(
+        name=f"in_set({col}, {vals})",
+        metrics=_violations(
+            m, lambda: F.col(col).isNull() | ~F.col(col).isin(vals)),
+        verdict=lambda row, m=m: row[m] == 0,
+    )
+
+
+def expectation_metrics(df: DataFrame,
+                        rules: "Iterable[Expectation]") -> DataFrame:
+    """All rules' metrics in ONE aggregate: a single-row DataFrame with
+    ``n_rows`` plus one column per metric (later rules win name ties —
+    identical expressions by construction)."""
+    exprs: "dict[str, Column]" = {}
+    for r in rules:
+        exprs.update(r.metrics())
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[c.alias(name) for name, c in exprs.items()],
+    )
+
+
+def validate_expectations(df: DataFrame,
+                          rules: "Iterable[Expectation]") -> dict:
+    """Run the single-pass metrics and render the verdict.  The collect
+    is ONE row of longs — metadata-sized by construction."""
+    rules = list(rules)
+    row = expectation_metrics(df, rules).first().asDict()
+    failures = [r.name for r in rules if not r.verdict(row)]
+    return {"passed": not failures, "failures": failures, "metrics": row}

@@ -28,6 +28,13 @@ single-shuffle):
   Exists to cross-validate the window plan and to support "nearest"
   with complex tolerances; the window plan is the default.
 
+Plus three postures for specific regimes (all cross-checked against
+the two above in tests): ``"bucketed"`` (entity × time-bucket salt for
+hot keys), ``"broadcast"`` (small right side aggregated to per-entity
+sorted arrays and broadcast — ZERO shuffle of the big side), and the
+storage plan ``asof_bucketed_storage`` (Exchange-free over a
+pre-bucketed table — the 100 TB feature-store posture).
+
 The reference has no joins at all (single-file for-loop; SURVEY.md
 §2A); this operator is the recast's new semantics mandated by
 BASELINE.json north_rule ("core operator is a sorted-merge as-of join
@@ -98,7 +105,11 @@ def asof_join(
     on / right_on : timestamp column on each side (right defaults to ``on``)
     by            : entity key column(s)
     value_cols    : right-side columns to attach (default: all non-key)
-    strategy      : "window" (default, pure JVM) or "merge_asof" (Arrow)
+    strategy      : "window" (default, pure JVM, one shuffle),
+                    "merge_asof" (Arrow cogroup), "bucketed" (hot-key
+                    salt by entity × time-bucket), "broadcast" (small
+                    right side — big side never shuffled), or "auto"
+                    (samples left-key skew: window vs bucketed)
 
     Output: every left row + attached right columns (null when no match
     within direction/tolerance) — left-join semantics, row count
@@ -129,6 +140,9 @@ def asof_join(
     if strategy == "bucketed":
         return _asof_bucketed(left, right, on, r_on, by_cols, direction,
                               tolerance, value_cols, bucket_seconds)
+    if strategy == "broadcast":
+        return _asof_broadcast(left, right, on, r_on, by_cols, direction,
+                               tolerance, value_cols)
     raise ValueError(f"unknown strategy: {strategy}")
 
 
@@ -251,6 +265,70 @@ def _asof_window(left, right, on, r_on, by_cols, direction, tolerance,
                               axis_type)
     return _asof_window_apply(unioned, on, by_cols, direction, tolerance,
                               value_cols, out_cols=left.columns)
+
+
+def _asof_broadcast(left, right, on, r_on, by_cols, direction, tolerance,
+                    value_cols) -> DataFrame:
+    """Broadcast as-of plan: ZERO shuffle of the big (left) side.
+
+    Physical shape: one hash aggregate collapses the (small) right side
+    into a time-ascending ``array<struct<__t, values...>>`` per entity,
+    which is broadcast-hash-joined onto the left on the entity key —
+    the left side keeps its scan partitioning (no Exchange, no Sort on
+    the data path).  The as-of pick is a JVM higher-order ``filter`` +
+    ``try_element_at`` over the per-entity array: O(snapshots/entity)
+    per row, whole-stage codegen, no Python.
+
+    Use when the aggregated right side fits in a broadcast — the
+    feature-store common case (dimension snapshots orders of magnitude
+    smaller than the event stream).  The caller asserts smallness,
+    exactly like Spark's ``broadcast()`` hint: every executor holds one
+    copy of the per-entity arrays.  At 100 TB-left / GB-right this is
+    the cheapest plan in the family; for large or hot-keyed right
+    sides use ``"window"`` / ``"bucketed"`` instead.
+
+    Tie semantics match the window plan: an exact ``t_r == t`` match is
+    visible in both directions; duplicate right timestamps within one
+    entity have no pinned winner across plans (same documented
+    ambiguity as the other strategies — tests dedupe on (entity, ts)).
+    """
+    axis_type = left.schema[on].dataType
+    r_clean = right.where(F.col(r_on).isNotNull())
+    for c in by_cols:
+        r_clean = r_clean.where(F.col(c).isNotNull())
+    entry = F.struct(
+        F.col(r_on).cast(axis_type).alias("__t"),
+        *[F.col(c) for c in value_cols],
+    )
+    # sort_array orders struct fields lexicographically — __t first, so
+    # the array is time-ascending; one Exchange total (this small agg)
+    per_entity = (
+        r_clean.groupBy(*by_cols)
+        .agg(F.sort_array(F.collect_list(entry)).alias("__arr"))
+    )
+    joined = left.join(F.broadcast(per_entity), on=by_cols, how="left")
+    # Lambda captures the outer row's timestamp (Spark HOFs allow outer
+    # references).  A NULL left key -> no join match -> __arr null ->
+    # null pick; a NULL left ts -> predicate null -> empty filter ->
+    # null pick: ANSI join semantics fall out structurally.
+    if direction == "backward":
+        matches = F.filter(F.col("__arr"), lambda s: s["__t"] <= F.col(on))
+        pick = F.try_element_at(matches, F.lit(-1))
+    else:
+        matches = F.filter(F.col("__arr"), lambda s: s["__t"] >= F.col(on))
+        pick = F.try_element_at(matches, F.lit(1))
+    out = joined.withColumn("__pick", pick)
+    if tolerance is not None:
+        delta = F.abs(F.col(on).cast("double") -
+                      F.col("__pick")["__t"].cast("double"))
+        out = out.withColumn(
+            "__pick",
+            F.when(delta <= F.lit(float(tolerance)), F.col("__pick")),
+        )
+    return out.select(
+        *left.columns,
+        *[F.col("__pick")[c].alias(c) for c in value_cols],
+    )
 
 
 def prepare_bucketed_asof_table(

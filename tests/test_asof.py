@@ -56,7 +56,7 @@ def test_both_plans_match_pandas(spark, seed, direction):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     want = _canon(_pandas_asof(left, right, direction))
-    for strategy in ("window", "merge_asof", "bucketed"):
+    for strategy in ("window", "merge_asof", "bucketed", "broadcast"):
         got = asof_join(
             ldf, rdf, on="ts", by="entity", direction=direction,
             strategy=strategy, bucket_seconds=600.0,
@@ -71,7 +71,7 @@ def test_tolerance(spark, tolerance):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     want = _canon(_pandas_asof(left, right, "backward", tolerance))
-    for strategy in ("window", "merge_asof", "bucketed"):
+    for strategy in ("window", "merge_asof", "bucketed", "broadcast"):
         got = _canon(asof_join(
             ldf, rdf, on="ts", by="entity", tolerance=tolerance,
             strategy=strategy, bucket_seconds=600.0,
@@ -83,7 +83,7 @@ def test_exact_tie_matches(spark):
     """A right row at exactly t must be visible to a left row at t."""
     left = pd.DataFrame({"entity": ["a"], "ts": [EPOCH], "lval": [1.0]})
     right = pd.DataFrame({"entity": ["a"], "ts": [EPOCH], "rval": [9.0]})
-    for strategy in ("window", "merge_asof", "bucketed"):
+    for strategy in ("window", "merge_asof", "bucketed", "broadcast"):
         got = asof_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
             on="ts", by="entity", strategy=strategy,
@@ -96,7 +96,7 @@ def test_no_match_yields_null(spark):
     right = pd.DataFrame({
         "entity": ["a"], "ts": [EPOCH + pd.Timedelta(seconds=10)], "rval": [9.0]
     })
-    for strategy in ("window", "merge_asof", "bucketed"):
+    for strategy in ("window", "merge_asof", "bucketed", "broadcast"):
         got = asof_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
             on="ts", by="entity", strategy=strategy,
@@ -133,7 +133,7 @@ def test_zero_temporal_leakage(spark):
 
 def test_null_keys_and_timestamps_sql_semantics(spark):
     """NULL entity keys / timestamps never match, on either side —
-    ANSI equality-join semantics, pinned across all three plans."""
+    ANSI equality-join semantics, pinned across all four plans."""
     left = pd.DataFrame({
         "entity": ["a", None, "a", "b"],
         "ts": [EPOCH + pd.Timedelta(seconds=10), EPOCH + pd.Timedelta(seconds=10),
@@ -145,7 +145,7 @@ def test_null_keys_and_timestamps_sql_semantics(spark):
         "ts": [EPOCH, EPOCH, pd.NaT, pd.NaT],
         "rval": [10.0, 20.0, 30.0, 40.0],
     })
-    for strategy in ("window", "merge_asof", "bucketed"):
+    for strategy in ("window", "merge_asof", "bucketed", "broadcast"):
         got = asof_join(
             spark.createDataFrame(left), spark.createDataFrame(right),
             on="ts", by="entity", strategy=strategy,
@@ -157,3 +157,26 @@ def test_null_keys_and_timestamps_sql_semantics(spark):
         assert pd.isna(got.loc[1, "rval"]), strategy
         assert pd.isna(got.loc[2, "rval"]), strategy
         assert pd.isna(got.loc[3, "rval"]), strategy
+
+
+def test_broadcast_plan_shape(spark, tmp_path):
+    """``strategy="broadcast"``: the big (left) side is never shuffled
+    or sorted.  Plan pins: BroadcastHashJoin, exactly ONE Exchange
+    hashpartitioning (the small right-side aggregate feeding the
+    broadcast), and zero Sort operators anywhere — the left scan's
+    partitioning flows straight through the join."""
+    left, right = _random_tables(13)
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left).write.parquet(lp)
+    spark.createDataFrame(right).write.parquet(rp)
+    out = asof_join(spark.read.parquet(lp), spark.read.parquet(rp),
+                    on="ts", by="entity", strategy="broadcast")
+    out.collect()
+    # pin the FINAL plan section only (AQE repeats operators under
+    # "== Initial Plan ==")
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Sort [") == 0, plan

@@ -146,3 +146,67 @@ def test_curate_job_model_filter_stage(spark, tmp_path):
     pass_ids = {r["doc_id"] for r in expect_pass.select("doc_id").collect()}
     out_ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
     assert out_ids <= pass_ids
+
+
+def test_curate_job_expectations_gate(spark, tmp_path):
+    """Round-4: the --expectations data-contract gate.  A violated
+    contract aborts BEFORE any curation spend (fail) or records the
+    violation in lineage and continues (warn); a satisfied contract
+    records passing metrics."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+
+    # the fixture corpus has unique non-null doc_ids -> contract passes
+    out_ok = str(tmp_path / "cur_ok")
+    res = curate_corpus.main([
+        "--input", src, "--output", out_ok,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--expectations", "not_null:text;unique:doc_id",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out_ok) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out_ok, parts[0], "_lineage.json")))
+    assert side["contract"]["passed"] is True
+    assert side["contract"]["metrics"]["text_null_count"] == 0
+
+    # an impossible range violates -> fail action aborts with the rule name
+    with pytest.raises(RuntimeError, match="in_range"):
+        curate_corpus.main([
+            "--input", src, "--output", str(tmp_path / "cur_fail"),
+            "--expectations", "in_range:n_chars:0:1",
+        ])
+
+    # warn action: violation recorded, pipeline still runs
+    out_warn = str(tmp_path / "cur_warn")
+    res = curate_corpus.main([
+        "--input", src, "--output", out_warn,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--expectations", "in_range:n_chars:0:1",
+        "--expectations-action", "warn",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out_warn) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out_warn, parts[0], "_lineage.json")))
+    assert side["contract"]["passed"] is False
+    assert any("in_range" in f for f in side["contract"]["failures"])
+
+
+def test_parse_expectations_mini_language():
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    rules = curate_corpus.parse_expectations(
+        "not_null:text;unique:doc_id;unique_approx:source;"
+        "in_range:n_chars:0:1000000;matches:lang:^[a-z]{2}$;"
+        "in_set:lang:en,fr,de"
+    )
+    assert [r.name for r in rules] == [
+        "not_null(text)", "unique(doc_id)", "unique(source)",
+        "in_range(n_chars, 0.0, 1000000.0)",
+        "matches(lang, '^[a-z]{2}$')",
+        "in_set(lang, ['de', 'en', 'fr'])",
+    ]
+    with pytest.raises(ValueError, match="unknown expectation"):
+        curate_corpus.parse_expectations("bogus:x")

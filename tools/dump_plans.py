@@ -138,6 +138,38 @@ def main() -> None:
         ).select("doc_id", "event_time", "mean", "stdev", "f_mean"),
     ))
 
+    sections.append((
+        "As-of join — broadcast plan (big side unshuffled)",
+        "the small right side is collapsed by ONE hash aggregate into "
+        "per-entity time-ascending array<struct> and broadcast onto the "
+        "left, which keeps its scan partitioning — no Exchange, no Sort "
+        "on the data path; the as-of pick is a codegen'd higher-order "
+        "filter + try_element_at (the 100 TB-left / GB-right posture):",
+        asof_join(
+            seqs.select("doc_id", "event_time", "n_tok"), snaps,
+            on="event_time", right_on="obs_time", by="doc_id",
+            value_cols=["f_mean", "f_std"], strategy="broadcast",
+        ),
+    ))
+
+    from pulsarfeatureextractor_spark.functions import quality_checks as qc
+
+    sections.append((
+        "Data-quality expectations (single-pass contract)",
+        "every rule is a conditional-sum aggregate expression folded "
+        "into ONE agg: one column-pruned scan, partial aggregation "
+        "map-side, a single one-row-per-partition SinglePartition "
+        "gather — rule count does not change the plan (HLL uniqueness "
+        "shown; exact COUNT(DISTINCT) adds the one expand stage):",
+        qc.expectation_metrics(
+            load_table(spark, SF, "documents"),
+            [qc.expect_not_null("text"),
+             qc.expect_unique("doc_id", exact=False),
+             qc.expect_in_range("n_chars", 0, 10_000_000),
+             qc.expect_matches("lang", "^[a-z]{2}$")],
+        ),
+    ))
+
     from pulsarfeatureextractor_spark.operators.packing import pack_sequences
 
     sections.append((
