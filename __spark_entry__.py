@@ -1655,6 +1655,35 @@ def expectations_docs(spark, sf):
     return qc.expectation_metrics(d, rules)
 
 
+# corpus-mixing constants shared by the query and its oracle so both
+# engines render the IDENTICAL expression text (portability is part of
+# the operator contract, like hash_split's md5 tier)
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_MIX_BUDGET = 30000.0
+_MIX_SEED = "mix-r4"
+_MIX_MAX_RATE = 4.0
+
+
+def mix_corpora_docs(spark, sf):
+    """Weighted corpus mixing to a token budget (operators/mixing.py):
+    the LLaMA/DoReMi-style recipe stage — per-source targets
+    budget*w/sum(w), ONE tiny source-key aggregate broadcast back onto
+    the corpus (big side never shuffles), then deterministic portable
+    md5 up/down-sampling materialized as floor(rate) copies plus a
+    fractional-acceptance copy; copy_ix distinguishes epochs.  Oracle
+    embeds the byte-identical copy-count expression via
+    mixing_copies_sql and reproduces the sample row-for-row."""
+    from pulsarfeatureextractor_spark.operators.mixing import mix_corpora
+
+    d = load_table(spark, sf, "documents")
+    out = mix_corpora(
+        d, _MIX_WEIGHTS, _MIX_BUDGET, source_col="source",
+        token_col="n_chars", id_col="doc_id", seed=_MIX_SEED,
+        max_rate=_MIX_MAX_RATE,
+    )
+    return out.select("doc_id", "source", "n_chars", "copy_ix")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -1779,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": media_frame_samples,
         "subint_scores_docs": subint_scores_docs,
         "expectations_docs": expectations_docs,
+        "mix_corpora_docs": mix_corpora_docs,
     }
 
 
@@ -3089,6 +3119,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')
                         THEN 1 ELSE 0 END) AS BIGINT) AS lang_regex_violation_count
         FROM documents
+    """
+    from pulsarfeatureextractor_spark.operators.mixing import mixing_copies_sql
+
+    _mix_copies = mixing_copies_sql(
+        "d.source", "d.doc_id", "t.__src_tokens",
+        _MIX_WEIGHTS, _MIX_BUDGET, _MIX_SEED, _MIX_MAX_RATE,
+    )
+    _mix_in = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    out["mix_corpora_docs"] = f"""
+        WITH totals AS (
+          SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS __src_tokens
+          FROM documents
+          WHERE source IN ({_mix_in})
+          GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars, u.copy_ix
+        FROM documents d
+        JOIN totals t ON d.source = t.source, unnest(range({_mix_copies})) AS u(copy_ix)
     """
     # PHCX ingest: expected rows from the SAME pure-python truth the
     # fixture writer uses — deterministic, sf-independent

@@ -213,6 +213,21 @@ def main() -> None:
         ).where(keep_flag()).select("doc_id", "model_score"),
     ))
 
+    from pulsarfeatureextractor_spark.operators.mixing import mix_corpora
+
+    sections.append((
+        "Weighted corpus mixing (broadcast rates, corpus never shuffled)",
+        "the only Exchange hashpartitioning feeds the K-row per-source "
+        "token aggregate; its result broadcast-hash-joins onto the "
+        "corpus scan, and the copy-count expression + Generate "
+        "(explode) stay in the same codegen'd map stage — the corpus "
+        "side crosses no shuffle at any scale:",
+        mix_corpora(
+            load_table(spark, SF, "documents"),
+            {"src0": 3.0, "src1": 1.0}, 30_000.0, seed="plans",
+        ).select("doc_id", "source", "n_chars", "copy_ix"),
+    ))
+
     # incremental-crawl dedup against a digest-bucketed reference: the
     # reference side scans bucketed (no Exchange); only the new crawl
     # shuffles
