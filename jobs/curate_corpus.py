@@ -159,6 +159,56 @@ def build_pipeline(spark, args):
         ),
         args.id_col,
     )
+    mix = None
+    n_canonical = None
+    if args.mix_weights:
+        # recipe stage (operators/mixing.py): re-weight the canonical
+        # set to the token budget BEFORE splitting — copies of a doc
+        # share its id, so the hash split keeps all epochs of a doc in
+        # one split (no eval leakage through up-sampling)
+        from pulsarfeatureextractor_spark.operators.mixing import mix_corpora
+
+        if args.mix_budget is None:
+            raise ValueError("--mix-weights requires --mix-budget")
+        # the canonical count must be taken BEFORE re-sampling — the
+        # mixed output legitimately repeats and drops rows
+        kept = kept.localCheckpoint(eager=True)
+        n_canonical = kept.count()
+        weights = dict(parse_weights(args.mix_weights))
+        cost_col = args.mix_cost_col
+        if cost_col is None:
+            kept = kept.withColumn(
+                "__mix_cost", F.length(F.col(args.text_col)).cast("long")
+            )
+            cost_col = "__mix_cost"
+        avail = {
+            r[0]: r[1]
+            for r in kept.where(F.col(args.mix_source_col).isin(list(weights)))
+            .groupBy(args.mix_source_col).agg(F.sum(cost_col)).collect()
+        }
+        kept = mix_corpora(
+            kept, weights, args.mix_budget,
+            source_col=args.mix_source_col, token_col=cost_col,
+            id_col=args.id_col, seed=args.seed, max_rate=args.mix_max_rate,
+        )
+        achieved = {
+            r[0]: r[1]
+            for r in kept.groupBy(args.mix_source_col)
+            .agg(F.sum(cost_col)).collect()
+        }
+        if cost_col == "__mix_cost":
+            kept = kept.drop("__mix_cost")
+        wsum = sum(weights.values())
+        mix = {
+            "weights": weights,
+            "budget_tokens": args.mix_budget,
+            "max_rate": args.mix_max_rate,
+            "available_tokens": avail,
+            "target_tokens": {
+                s: args.mix_budget * w / wsum for s, w in weights.items()
+            },
+            "achieved_tokens": achieved,
+        }
     # materialize the final frame: n_kept below, the sink's partition-key
     # collect, and the write would otherwise each recompute the dedup
     # join + split chain
@@ -175,13 +225,16 @@ def build_pipeline(spark, args):
         "pair_source": args.pair_source,
         "seed": args.seed,
         "contract": contract,
+        "mix": mix,
         "metrics": {
             "docs_in": n_in,
             "docs_after_quality": n_filtered,
-            "docs_canonical": n_kept,
+            "docs_canonical": n_canonical if n_canonical is not None else n_kept,
+            "rows_out": n_kept,
             "dropped_quality": n_in - n_filtered - n_model_dropped,
             "dropped_model": n_model_dropped,
-            "dropped_dup": n_filtered - n_kept,
+            "dropped_dup": n_filtered
+            - (n_canonical if n_canonical is not None else n_kept),
         },
     }
     return out, lineage
@@ -210,6 +263,20 @@ def main(argv=None) -> dict:
                     choices=["fail", "warn"],
                     help="fail: abort on contract violation; warn: record "
                          "the violation in lineage and continue")
+    ap.add_argument("--mix-weights", default=None,
+                    help="optional recipe stage after dedup: per-source "
+                         "mixture weights, e.g. 'web:0.67,code:0.15' "
+                         "(sources absent from the recipe are dropped; "
+                         "see operators/mixing.py)")
+    ap.add_argument("--mix-budget", type=float, default=None,
+                    help="total token budget the mixture targets "
+                         "(required with --mix-weights)")
+    ap.add_argument("--mix-max-rate", type=float, default=None,
+                    help="epoch cap: clamp any source's up-sampling rate")
+    ap.add_argument("--mix-source-col", default="source")
+    ap.add_argument("--mix-cost-col", default=None,
+                    help="numeric per-doc cost column for the budget; "
+                         "default stages length(text-col)")
     ap.add_argument("--pair-source", default="minhash",
                     choices=["minhash", "ngram"],
                     help="near-dup candidate source (minhash = scale path)")

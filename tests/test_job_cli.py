@@ -193,6 +193,64 @@ def test_curate_job_expectations_gate(spark, tmp_path):
     assert any("in_range" in f for f in side["contract"]["failures"])
 
 
+def test_curate_job_mix_stage(spark, tmp_path):
+    """Round-4: the --mix-weights recipe stage.  Only recipe sources
+    survive, up-sampled docs repeat with dense copy_ix, every copy of
+    a doc lands in ONE split (no leakage through epochs), and lineage
+    records available/target/achieved tokens per source."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "cur_mix")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--mix-weights", "src0:3,src1:1", "--mix-budget", "30000",
+        "--mix-max-rate", "4.0",
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    assert {r["source"] for r in cur.select("source").distinct().collect()} <= {
+        "src0", "src1"
+    }
+    assert "copy_ix" in cur.columns
+    # dense 0-based epochs per doc; all copies in one split
+    per_doc = (
+        cur.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_set("copy_ix").alias("ixs"),
+            F.countDistinct("split").alias("nsplit"),
+        )
+        .collect()
+    )
+    assert any(r["n"] > 1 for r in per_doc)  # src0 is up-sampled
+    for r in per_doc:
+        assert sorted(r["ixs"]) == list(range(r["n"]))
+        assert r["nsplit"] == 1
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    mix = side["mix"]
+    assert set(mix["achieved_tokens"]) <= {"src0", "src1"}
+    assert mix["target_tokens"]["src0"] == 22500.0
+    # achieved within sampling noise of target (25 docs/source fixture)
+    for s in mix["achieved_tokens"]:
+        assert abs(mix["achieved_tokens"][s] - mix["target_tokens"][s]) / mix[
+            "target_tokens"
+        ][s] < 0.35
+    m = side["metrics"]
+    assert m["rows_out"] != m["docs_canonical"]
+    # --mix-weights without --mix-budget refuses
+    with pytest.raises(ValueError, match="mix-budget"):
+        curate_corpus.main([
+            "--input", src, "--output", str(tmp_path / "cur_mix_bad"),
+            "--mix-weights", "src0:1",
+        ])
+
+
 def test_parse_expectations_mini_language():
     sys.path.insert(0, "/root/repo/jobs")
     import curate_corpus
