@@ -1655,6 +1655,24 @@ def expectations_docs(spark, sf):
     return qc.expectation_metrics(d, rules)
 
 
+def shuffle_shards_docs(spark, sf):
+    """Deterministic global shuffle + fixed-size shard assignment
+    (operators/shuffle.py): dense 0-based rank under the seeded
+    portable md5 order WITHOUT a single-partition pass over the data —
+    range-partition on the digest, pid-local ranking, K-row offset
+    prefix sum broadcast back (the packing two-level shape).  Oracle
+    is the single-window SQL spelling of the same order."""
+    from pulsarfeatureextractor_spark.operators.shuffle import (
+        global_shuffle_rank,
+    )
+
+    d = load_table(spark, sf, "documents")
+    out = global_shuffle_rank(
+        d, id_col="doc_id", seed="shuf-r4", shard_size=64
+    )
+    return out.select("doc_id", "shuffle_rank", "shard_ix")
+
+
 # corpus-mixing constants shared by the query and its oracle so both
 # engines render the IDENTICAL expression text (portability is part of
 # the operator contract, like hash_split's md5 tier)
@@ -1809,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subint_scores_docs": subint_scores_docs,
         "expectations_docs": expectations_docs,
         "mix_corpora_docs": mix_corpora_docs,
+        "shuffle_shards_docs": shuffle_shards_docs,
     }
 
 
@@ -3119,6 +3138,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')
                         THEN 1 ELSE 0 END) AS BIGINT) AS lang_regex_violation_count
         FROM documents
+    """
+    out["shuffle_shards_docs"] = """
+        WITH ranked AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY md5(concat(CAST(doc_id AS STRING), '|', 'shuf-r4')) ASC,
+                            doc_id ASC
+                 ) - 1 AS BIGINT) AS shuffle_rank
+          FROM documents
+        )
+        SELECT doc_id, shuffle_rank,
+               CAST(FLOOR(shuffle_rank / 64) AS BIGINT) AS shard_ix
+        FROM ranked
     """
     from pulsarfeatureextractor_spark.operators.mixing import mixing_copies_sql
 

@@ -214,6 +214,25 @@ def _bench_synthetic(spark, n_rows: int, input_dir: str,
     out["synthetic_thornton_scores"] = _timed_min(
         lambda: with_thornton_scores(seqs()).drop("tokens"), trials)
 
+    # corpus mixing at n_rows: one K-row aggregate broadcast back onto
+    # an unshuffled corpus, per-row md5 acceptance + explode — the
+    # recipe stage's map-throughput number
+    from pyspark.sql import functions as _F
+
+    from pulsarfeatureextractor_spark.operators.mixing import mix_corpora
+
+    out["synthetic_mix"] = _timed_min(
+        lambda: mix_corpora(
+            seqs().withColumn(
+                "src", _F.concat(_F.lit("s"), _F.pmod(_F.col("doc_id"), _F.lit(4)))
+            ),
+            {"s0": 3.0, "s1": 1.0, "s2": 1.0},
+            float(n_rows) * 30.0,
+            source_col="src", token_col="n_tok", id_col="doc_id",
+            seed="bench", max_rate=4.0,
+        ).select("doc_id", "event_time", "src", "copy_ix"),
+        trials)
+
     # skew resilience: one entity owns 50% of rows.  The window plan
     # serializes the hot entity into one task; the bucketed plan spreads
     # it over (entity, time-bucket) — judge-visible evidence that window

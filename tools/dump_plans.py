@@ -228,6 +228,23 @@ def main() -> None:
         ).select("doc_id", "source", "n_chars", "copy_ix"),
     ))
 
+    from pulsarfeatureextractor_spark.operators.shuffle import (
+        global_shuffle_rank,
+    )
+
+    sections.append((
+        "Deterministic global shuffle rank (no single-partition data pass)",
+        "the data-sized window is partitioned on the range-partition id "
+        "(rows ranked locally after ONE range exchange on the digest); "
+        "the only SinglePartition exchange feeds the K-row per-partition "
+        "count window, whose offsets broadcast-join back — the packing "
+        "two-level prefix-sum shape applied to global ordering:",
+        global_shuffle_rank(
+            load_table(spark, SF, "documents").select("doc_id"),
+            seed="plans", shard_size=64,
+        ),
+    ))
+
     # incremental-crawl dedup against a digest-bucketed reference: the
     # reference side scans bucketed (no Exchange); only the new crawl
     # shuffles
