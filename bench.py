@@ -224,7 +224,7 @@ def _bench_synthetic(spark, n_rows: int, input_dir: str,
     out["synthetic_mix"] = _timed_min(
         lambda: mix_corpora(
             seqs().withColumn(
-                "src", _F.concat(_F.lit("s"), _F.pmod(_F.col("doc_id"), _F.lit(4)))
+                "src", _F.concat(_F.lit("s"), _F.pmod(_F.xxhash64("doc_id"), _F.lit(4)))
             ),
             {"s0": 3.0, "s1": 1.0, "s2": 1.0},
             float(n_rows) * 30.0,
