@@ -1702,6 +1702,24 @@ def mix_corpora_docs(spark, sf):
     return out.select("doc_id", "source", "n_chars", "copy_ix")
 
 
+def boilerplate_removal_docs(spark, sf):
+    """C4-style corpus boilerplate removal (functions/text.py
+    remove_boilerplate): tokens present in >=79% of documents (exact
+    integer-ratio cut, dfc*100 >= n_docs*79, min_docs=2) are dropped
+    from every document, order and multiplicity of survivors
+    preserved.  The boilerplate vocabulary is bounded by construction
+    (<= max_distinct_per_doc * den/num), collected driver-side
+    (metadata tier, IVF-centroid precedent) and inlined into a
+    scan-fused higher-order filter — the removal costs ZERO shuffles;
+    only the distinct-pair vocabulary aggregate exchanges data."""
+    from pulsarfeatureextractor_spark.functions.text import remove_boilerplate
+
+    d = load_table(spark, sf, "documents")
+    return remove_boilerplate(d, "text", ratio=(79, 100), min_docs=2).select(
+        "doc_id", "clean_text", "n_kept"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -1828,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_docs": expectations_docs,
         "mix_corpora_docs": mix_corpora_docs,
         "shuffle_shards_docs": shuffle_shards_docs,
+        "boilerplate_removal_docs": boilerplate_removal_docs,
     }
 
 
@@ -3169,6 +3188,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source, d.n_chars, u.copy_ix
         FROM documents d
         JOIN totals t ON d.source = t.source, unnest(range({_mix_copies})) AS u(copy_ix)
+    """
+    out["boilerplate_removal_docs"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM documents
+        ), words AS (
+          SELECT doc_id, tok, pos FROM w WHERE tok <> ''
+        ), dfc AS (
+          SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM words GROUP BY tok
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), freq AS (
+          SELECT tok FROM dfc CROSS JOIN n
+          WHERE dfc * 100 >= n_docs * 79 AND dfc >= 2
+        ), kept AS (
+          SELECT wo.doc_id,
+                 string_agg(wo.tok, ' ' ORDER BY wo.pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM words wo ANTI JOIN freq f ON wo.tok = f.tok
+          GROUP BY wo.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept
+        FROM documents d LEFT JOIN kept k USING (doc_id)
     """
     # PHCX ingest: expected rows from the SAME pure-python truth the
     # fixture writer uses — deterministic, sf-independent

@@ -236,3 +236,91 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(out_col, red)
+
+
+def boilerplate_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    ratio: "tuple[int, int]" = (1, 2),
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate vocabulary: tokens whose document
+    frequency satisfies ``dfc * den >= n_docs * num`` (ratio =
+    (num, den), exact integer arithmetic so any engine reproduces the
+    cut bit-for-bit — no float threshold) and ``dfc >= min_docs``.
+
+    Returns (token, dfc).  Plan shape / 100 TB posture: one shuffle on
+    token over the DISTINCT per-doc token set (array_distinct happens
+    scan-side, so the exchange carries distinct (doc, token) pairs,
+    not raw occurrences); n_docs is a 1-row broadcast cross-join,
+    never a driver collect (same shape as tfidf.py).
+    """
+    num, den = ratio
+    if num <= 0 or den <= 0:
+        raise ValueError("ratio parts must be positive integers")
+    toks = df.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(words_col(text_col), lambda w: w != F.lit(""))
+            )
+        ).alias("token")
+    )
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    n = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        dfc.join(F.broadcast(n))
+        .where(
+            (F.col("dfc") * F.lit(int(den)) >= F.col("__n_docs") * F.lit(int(num)))
+            & (F.col("dfc") >= F.lit(int(min_docs)))
+        )
+        .select("token", "dfc")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    ratio: "tuple[int, int]" = (1, 2),
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    kept_out: str = "n_kept",
+    max_frequent: int = 10_000,
+) -> DataFrame:
+    """C4-style corpus boilerplate removal: drop every token that
+    appears in at least ``ratio`` of all documents, preserving the
+    order and multiplicity of the surviving tokens.
+
+    Output = input columns + ``out_col`` (cleaned text, "" when every
+    token was boilerplate) + ``kept_out`` (surviving token count).
+
+    Plan shape / 100 TB posture: the boilerplate vocabulary is
+    BOUNDED BY CONSTRUCTION — sum(dfc) <= n_docs * max distinct
+    tokens per doc, so |{t : dfc >= (num/den) * n_docs}| <=
+    max_distinct_per_doc * den / num (stopword-scale for any sane
+    ratio; ~2k for 1k-distinct-token docs at 50%).  It is therefore
+    collected driver-side (metadata-sized, same tier as the IVF
+    centroid sample in operators/similarity.py) and inlined into a
+    scan-fused higher-order filter — the removal itself costs ZERO
+    shuffles and never explodes the corpus; only the vocabulary agg
+    (one distinct-pair exchange) touches the cluster.  ``max_frequent``
+    guards the bound: a pathological ratio that yields a larger set
+    raises instead of silently building a huge In() expression.
+    """
+    freq = boilerplate_tokens(df, text_col, ratio, min_docs)
+    rows = freq.select("token").limit(max_frequent + 1).collect()
+    if len(rows) > max_frequent:
+        raise ValueError(
+            f"boilerplate set exceeds max_frequent={max_frequent}; "
+            "raise the threshold ratio or max_frequent"
+        )
+    tokens = sorted(r["token"] for r in rows)
+    words = F.filter(words_col(text_col), lambda w: w != F.lit(""))
+    if tokens:
+        clean = F.filter(words, lambda w: ~w.isin(*tokens))
+    else:
+        clean = words
+    return df.select(
+        "*",
+        F.array_join(clean, " ").alias(out_col),
+        F.size(clean).alias(kept_out),
+    )
