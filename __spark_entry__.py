@@ -1720,6 +1720,23 @@ def boilerplate_removal_docs(spark, sf):
     )
 
 
+def lm_perplexity_docs(spark, sf):
+    """CCNet-style bigram-LM perplexity scoring (functions/lm.py):
+    add-1-smoothed bigram LM trained on the corpus itself, every doc
+    scored exp(-mean ln p) over its bigrams.  Float discipline: each
+    ln p is rounded to 9 decimals and cast DECIMAL(20,9) BEFORE the
+    per-doc sum (exact integer arithmetic — associative under any
+    partitioning); only the final exp returns to double (round 6).
+    LM sides are vocabulary-bounded broadcasts; scan-side bigram
+    transform; two hash aggs to train, one to score."""
+    from pulsarfeatureextractor_spark.functions.lm import with_lm_perplexity
+
+    d = load_table(spark, sf, "documents")
+    return with_lm_perplexity(d, "text", "doc_id").select(
+        "doc_id", "n_bigrams", "lm_ppl"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora_docs": mix_corpora_docs,
         "shuffle_shards_docs": shuffle_shards_docs,
         "boilerplate_removal_docs": boilerplate_removal_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
     }
 
 
@@ -3215,6 +3233,41 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(k.clean_text, '') AS clean_text,
                CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept
         FROM documents d LEFT JOIN kept k USING (doc_id)
+    """
+    out["lm_perplexity_docs"] = """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents
+        ), big AS (
+          SELECT doc_id,
+                 unnest(ws[1:len(ws)-1]) AS w1,
+                 unnest(ws[2:len(ws)]) AS w2
+          FROM ws WHERE len(ws) >= 2
+        ), bi AS (
+          SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, SUM(c) AS cd FROM bi GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ws) AS w FROM ws)
+        ), scored AS (
+          SELECT b.doc_id,
+                 CAST(ROUND(ln((COALESCE(bi.c, 0) + 1) /
+                               CAST(COALESCE(ctx.cd, 0) + v.v AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) AS logp
+          FROM big b
+          LEFT JOIN bi USING (w1, w2)
+          LEFT JOIN ctx USING (w1)
+          CROSS JOIN v
+        ), agg AS (
+          SELECT doc_id, COUNT(*) AS n, SUM(logp) AS s
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n, 0) AS INT) AS n_bigrams,
+               ROUND(EXP(-(CAST(a.s AS DOUBLE) / a.n)), 6) AS lm_ppl
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     # PHCX ingest: expected rows from the SAME pure-python truth the
     # fixture writer uses — deterministic, sf-independent

@@ -138,6 +138,21 @@ def build_pipeline(spark, args):
         ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
                "distinct_tokens")
         n_model_dropped = pre - filt.count()
+    n_ppl_dropped = 0
+    if args.max_ppl is not None:
+        # CCNet-style LM gate (functions/lm.py): self-trained bigram
+        # perplexity; high-perplexity (out-of-domain / noisy) docs drop
+        from pulsarfeatureextractor_spark.functions.lm import (
+            with_lm_perplexity,
+        )
+
+        pre = filt.count()
+        filt = (
+            with_lm_perplexity(filt, args.text_col, args.id_col)
+            .where(F.col("lm_ppl") <= args.max_ppl)
+            .drop("n_bigrams", "lm_ppl")
+        )
+        n_ppl_dropped = pre - filt.count()
     # the pair graph and the split both consume the filtered set twice —
     # materialize once (iterative CC would otherwise recompute the
     # filter chain every round)
@@ -231,8 +246,10 @@ def build_pipeline(spark, args):
             "docs_after_quality": n_filtered,
             "docs_canonical": n_canonical if n_canonical is not None else n_kept,
             "rows_out": n_kept,
-            "dropped_quality": n_in - n_filtered - n_model_dropped,
+            "dropped_quality": n_in - n_filtered - n_model_dropped
+            - n_ppl_dropped,
             "dropped_model": n_model_dropped,
+            "dropped_perplexity": n_ppl_dropped,
             "dropped_dup": n_filtered
             - (n_canonical if n_canonical is not None else n_kept),
         },
@@ -254,6 +271,10 @@ def main(argv=None) -> dict:
                     help="keep docs whose quality-model logit is >= this "
                          "(batch inference stage; deterministic linear "
                          "fixture — see functions/inference.py)")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="drop docs whose self-trained bigram-LM "
+                         "perplexity exceeds this (CCNet-style gate; "
+                         "functions/lm.py)")
     ap.add_argument("--expectations", default=None,
                     help="semicolon-separated data-contract rules checked "
                          "in ONE pass before curation, e.g. "

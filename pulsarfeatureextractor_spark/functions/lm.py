@@ -1,0 +1,124 @@
+"""Count-based bigram language-model perplexity scoring (CCNet-style
+quality filtering, e.g. Wenzek et al. 2020: keep/bucket documents by
+LM perplexity).  The production pipeline trains KenLM offline; this
+operator is the from-scratch distributed analogue — an add-1-smoothed
+bigram LM trained ON the corpus itself (or any other corpus passed as
+``train_df``), then every document scored with it:
+
+    p(w2 | w1) = (c(w1, w2) + 1) / (cd(w1) + V)
+    ppl(doc)   = exp(-mean(ln p) over the doc's bigrams)
+
+Plan shape / 100 TB posture:
+- bigram extraction is a scan-side higher-order ``transform`` over the
+  split token array (no shuffle until the count aggregate);
+- training = TWO hash aggregates: bigram counts (one shuffle on
+  (w1, w2) over raw pairs) and context counts (aggregates the *bigram
+  table*, vocabulary-squared-bounded, not the corpus);  V is a 1-row
+  broadcast cross-join, never a driver collect (tfidf.py shape);
+- scoring joins the corpus against the LM on (w1, w2) then (w1) —
+  both LM sides are vocabulary-bounded, broadcast by default
+  (``broadcast_lm=False`` for unbounded vocabularies lets AQE pick a
+  shuffle join);
+- the per-doc reduction is one hash aggregate on doc_id.
+
+Float discipline (the driver's DuckDB differential compares value
+hashes bit-for-bit): ``ln p`` is computed on an IDENTICAL double in
+both engines ((c+1) long / (cd+V) cast double — integer inputs are
+exact, IEEE division is correctly rounded), rounded to 9 decimals and
+CAST TO DECIMAL(20,9) **before** summation, so the per-doc sum is
+exact integer arithmetic — associative, partial-aggregable, identical
+on any engine and any partitioning.  Only the final
+``exp(-sum/n)`` returns to double, rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "with_lm_perplexity"]
+
+_WS = "__lm_ws"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(
+        _WS, F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    )
+
+
+def _bigrams(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2) per consecutive token pair — scan-side transform +
+    explode, no shuffle."""
+    pairs = F.expr(
+        f"transform(slice({_WS}, 1, size({_WS}) - 1),"
+        f" (x, i) -> struct(x AS w1, element_at({_WS}, i + 2) AS w2))"
+    )
+    return (
+        df.where(F.size(_WS) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    train_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Train the add-1 bigram LM: returns (bigram counts (w1, w2, c),
+    context counts (w1, cd), vocabulary size — a 1-row (v) frame)."""
+    ws = _words(train_df, text_col)
+    big = _bigrams(ws, id_col)
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bi.groupBy("w1").agg(F.sum("c").alias("cd"))
+    vocab = (
+        ws.select(F.explode(F.array_distinct(F.col(_WS))).alias("w"))
+        .select("w")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return bi, ctx, vocab
+
+
+def with_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    out_col: str = "lm_ppl",
+    n_out: str = "n_bigrams",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score every document's bigram perplexity under the LM trained on
+    ``train_df`` (default: the scored corpus itself — the CCNet
+    in-domain reference).  Output = input columns + ``n_out`` +
+    ``out_col``; documents with fewer than 2 tokens score NULL
+    perplexity and 0 bigrams.
+    """
+    bi, ctx, vocab = train_bigram_lm(
+        train_df if train_df is not None else df, text_col, id_col
+    )
+    if broadcast_lm:
+        bi, ctx = F.broadcast(bi), F.broadcast(ctx)
+    big = _bigrams(_words(df, text_col), id_col)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("cd"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    scored = (
+        big.join(bi, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(F.log(p), 9).cast("decimal(20,9)").alias("__logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s")
+    )
+    return df.join(agg, [id_col], "left").select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias(n_out),
+        F.round(
+            F.exp(-(F.col("__s").cast("double") / F.col("__n"))), 6
+        ).alias(out_col),
+    )

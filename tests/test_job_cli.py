@@ -268,3 +268,42 @@ def test_parse_expectations_mini_language():
     ]
     with pytest.raises(ValueError, match="unknown expectation"):
         curate_corpus.parse_expectations("bogus:x")
+
+
+def test_curate_job_perplexity_filter_stage(spark, tmp_path):
+    """Round-4: the optional CCNet-style LM gate (--max-ppl) drops
+    exactly the docs whose self-trained bigram perplexity exceeds the
+    threshold, accounted separately in the lineage metrics."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pulsarfeatureextractor_spark.functions.lm import with_lm_perplexity
+    from pulsarfeatureextractor_spark.functions.text import words_col
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(src)
+    lengthy = docs.where(F.size(words_col("text")) >= 20)
+    ppl = with_lm_perplexity(lengthy, "text", "doc_id")
+    # pick a threshold that actually splits the corpus: the median ppl
+    thr = ppl.approxQuantile("lm_ppl", [0.5], 0.0)[0]
+    expect_pass = ppl.where(F.col("lm_ppl") <= thr)
+    n_len, n_pass = lengthy.count(), expect_pass.count()
+    assert 0 < n_pass < n_len
+
+    out = str(tmp_path / "curated_ppl")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20", "--max-ppl", str(thr),
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    m = side["metrics"]
+    assert m["dropped_perplexity"] == n_len - n_pass
+    assert m["docs_after_quality"] == n_pass
+    pass_ids = {r["doc_id"] for r in expect_pass.select("doc_id").collect()}
+    cur = spark.read.parquet(out)
+    out_ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert out_ids <= pass_ids
