@@ -1292,6 +1292,24 @@ def ann_ivf_topk(spark, sf):
     )
 
 
+def semantic_dedup_embeddings(spark, sf):
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (operators/similarity.semantic_dedup): spherical-k-means cells
+    bound the pair comparison, within-cell cosine >= 0.45 pairs feed
+    connected components, one canonical member per semantic-dup group.
+    Oracle: VALUES literal from the pure-python twin
+    (tools/gen_value_oracles.gen_semantic_dedup — identical centroid
+    arithmetic, sequential-fold cosine, union-find)."""
+    from pulsarfeatureextractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, n_centroids=8).select(
+        "vec_id", "group_id", "group_size"
+    )
+
+
 def ann_lsh_topk_docs(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -1865,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards_docs": shuffle_shards_docs,
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
     }
 
 

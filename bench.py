@@ -59,6 +59,8 @@ HEADLINE = [
     "pack_sequences_docs",         # two-level distributed prefix sum
     "tfidf_topk_docs",             # TF-IDF (broadcast term dictionary)
     "contamination_check_docs",    # eval-vs-corpus shingle overlap
+    "boilerplate_removal_docs",    # C4-style corpus boilerplate removal
+    "lm_perplexity_docs",          # CCNet-style bigram-LM perplexity
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
 

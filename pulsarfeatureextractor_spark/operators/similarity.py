@@ -108,6 +108,62 @@ def _bucket_udf(dim: "int | None", n_bits: int, n_tables: int, seed: int = 777):
     return buckets
 
 
+def _train_spherical_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    lloyd_iters: int,
+    train_sample: int,
+):
+    """Spherical k-means centroids from a bounded deterministic sample.
+
+    The sample is keyed on the ID hash (not on the Java string
+    rendering of the vector — an id hash is just as uniform, skips the
+    array→string cast, and is replicable by the pure-python XXH64
+    oracle port).  Seed folded INTO the string: a second xxhash64
+    argument is a hash-chain link, not a seed.  Lloyd rounds run
+    DRIVER-SIDE on the bounded sample (O(sample × k) numpy, never the
+    corpus).  Shared by ivf_topk and semantic_dedup — the oracle twins
+    (tools/gen_value_oracles.py) replicate this exact arithmetic.
+    """
+    hashed = corpus.select(F.col(vec_col), F.col(id_col)).withColumn(
+        "__h",
+        F.pmod(
+            F.xxhash64(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
+            ),
+            F.lit(1 << 31),
+        ),
+    ).orderBy("__h").drop(id_col)
+    train = hashed.limit(max(n_centroids, min(train_sample, n_centroids * 256)))
+    rows = train.collect()
+    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(max(lloyd_iters, 0)):
+        assign = np.argmax(X @ C.T, axis=1)            # spherical k-means
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _make_assign_udf(C, top: int):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ C.T                              # (b, n_centroids)
+        order = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,46 +193,11 @@ def ivf_topk(
     """
     import pyspark.sql.functions as SF
 
-    # deterministic pseudo-random sample keyed on the ID (not on the
-    # Java string rendering of the vector — an id hash is just as
-    # uniform, skips the array→string cast, and is replicable by the
-    # pure-python XXH64 oracle port).  Seed folded INTO the string:
-    # a second xxhash64 argument is a hash-chain link, not a seed.
-    hashed = corpus.select(F.col(vec_col), F.col(id_col)).withColumn(
-        "__h",
-        F.pmod(
-            F.xxhash64(
-                F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
-            ),
-            F.lit(1 << 31),
-        ),
-    ).orderBy("__h").drop(id_col)
-    train = hashed.limit(max(n_centroids, min(train_sample, n_centroids * 256)))
-    rows = train.collect()
-    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = X[:n_centroids].copy()
-    for _ in range(max(lloyd_iters, 0)):
-        assign = np.argmax(X @ C.T, axis=1)            # spherical k-means
-        for c in range(n_centroids):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-
-    def _assign_udf(top: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs: pd.Series) -> pd.Series:
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ C.T                              # (b, n_centroids)
-            order = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
-            return pd.Series(list(order))
-
-        return assign
-
-    c_cell = _assign_udf(1)
-    q_cells = _assign_udf(n_probe)
+    C = _train_spherical_centroids(
+        corpus, id_col, vec_col, n_centroids, seed, lloyd_iters, train_sample
+    )
+    c_cell = _make_assign_udf(C, 1)
+    q_cells = _make_assign_udf(C, n_probe)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
         "__cell", F.element_at(c_cell(F.col("__cvec")), 1)
     )
@@ -292,3 +313,66 @@ def rp_lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 31,
+    lloyd_iters: int = 5,
+    train_sample: int = 20_000,
+    algorithm: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then prune cosine-near-duplicates
+    WITHIN each cluster — the all-pairs comparison is bounded to cell
+    populations, never the corpus, which is the whole point of the
+    method at 100 TB.
+
+    1. spherical k-means centroids from a bounded driver-side sample
+       (shared trainer with ivf_topk);
+    2. one Arrow-batched matmul assigns every row its top-1 cell;
+    3. within-cell self-join generates candidate pairs (shuffle on
+       cell id only; each row lives in exactly one cell so no pair
+       dedup pass is needed), exact sequential-fold cosine filters at
+       ``threshold``;
+    4. connected components over the surviving pairs (diameter-bounded
+       label propagation, operators/components.py) gives each row a
+       group; ``keep = group_id == id`` retains one canonical member
+       per semantic-duplicate set.
+
+    Returns (id_col, group_id, group_size) — the dedup_groups
+    contract.  Cross-cell near-duplicates are missed by design
+    (SemDeDup's documented recall trade); raise n_centroids for
+    tighter cells or lower it toward 1 for higher recall at higher
+    pair cost.
+    """
+    from .components import dedup_groups
+
+    C = _train_spherical_centroids(
+        df, id_col, vec_col, n_centroids, seed, lloyd_iters, train_sample
+    )
+    cell = _make_assign_udf(C, 1)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__cell", F.element_at(cell(F.col("__va")), 1))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__cell", F.element_at(cell(F.col("__vb")), 1))
+    pairs = (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _cosine_expr(
+                F.col("__va").cast("array<double>"),
+                F.col("__vb").cast("array<double>"),
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    return dedup_groups(df, pairs, id_col, algorithm=algorithm)

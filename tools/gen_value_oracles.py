@@ -536,6 +536,70 @@ def gen_ann_ivf_topk(k=5, n_centroids=16, n_probe=6, seed=31,
                               ("cosine", "DOUBLE"), ("rank", "BIGINT")])
 
 
+def gen_semantic_dedup(threshold=0.45, n_centroids=8, seed=31,
+                       lloyd_iters=5, train_sample=20_000) -> str:
+    """Pure-python twin of operators/similarity.semantic_dedup for the
+    driver query's parameters: identical centroid training
+    (_train_spherical_centroids arithmetic), identical top-1 cell
+    assignment, within-cell exact pairs at sequential-fold cosine >=
+    threshold, then union-find -> group_id = min id, group_size =
+    member count (the dedup_groups contract)."""
+    ids, vecs = _load_embeddings()
+    h = {i: xxh64(f"{ids[i]}|{seed}") % (1 << 31) for i in range(len(ids))}
+    order = sorted(range(len(ids)), key=lambda i: h[i])
+    sample_n = max(n_centroids, min(train_sample, n_centroids * 256))
+    X = np.vstack([vecs[i] for i in order[:sample_n]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    mat = np.vstack(vecs)
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = matn @ C.T
+    cell = np.argsort(-sims, axis=1)[:, :1][:, 0]
+    members_by_cell: dict = {}
+    for i in range(len(ids)):
+        members_by_cell.setdefault(int(cell[i]), []).append(i)
+    # union-find over within-cell pairs at cosine >= threshold
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in members_by_cell.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if _seq_cosine(vecs[i], vecs[j]) >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+    group_of = {}
+    for i in range(len(ids)):
+        root = find(i)
+        group_of.setdefault(root, []).append(i)
+    gid = {}
+    gsize = {}
+    for root, members in group_of.items():
+        g = min(ids[m] for m in members)
+        for m in members:
+            gid[m] = g
+            gsize[m] = len(members)
+    rows = sorted(
+        (str(ids[i]), str(gid[i]), str(gsize[i])) for i in range(len(ids))
+    )
+    return _values_sql(rows, [("vec_id", "BIGINT"), ("group_id", "BIGINT"),
+                              ("group_size", "BIGINT")])
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -552,6 +616,7 @@ def main() -> None:
         "embedding_neardup_lsh": gen_embedding_neardup_lsh(),
         "ann_lsh_topk_docs": gen_ann_lsh_topk(),
         "ann_ivf_topk": gen_ann_ivf_topk(),
+        "semantic_dedup_embeddings": gen_semantic_dedup(),
         "fingerprint_docs": gen_fingerprint(ids, texts),
     }
     with open(OUT, "w") as f:
