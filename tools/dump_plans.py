@@ -281,6 +281,56 @@ def main() -> None:
         _dedup_plan_text,
     ))
 
+    from pulsarfeatureextractor_spark.functions.text import (
+        remove_boilerplate,
+    )
+
+    sections.append((
+        "Corpus boilerplate removal (zero-shuffle removal path)",
+        "the bounded boilerplate vocabulary (collected once at "
+        "construction, metadata-sized by the DF-threshold bound) is "
+        "inlined into a scan-fused higher-order filter: the OUTPUT plan "
+        "is Scan -> Project, no Exchange, no Python — removal costs "
+        "nothing at any scale beyond the one distinct-pair vocabulary "
+        "aggregate paid up front:",
+        remove_boilerplate(
+            load_table(spark, SF, "documents"), "text", ratio=(79, 100),
+        ).select("doc_id", "clean_text", "n_kept"),
+    ))
+
+    from pulsarfeatureextractor_spark.functions.lm import with_lm_perplexity
+
+    sections.append((
+        "Bigram-LM perplexity scoring (vocabulary-bounded broadcasts)",
+        "bigram extraction is a codegen'd transform/explode in the scan "
+        "stage; the LM sides (bigram + context counts) come back as "
+        "BroadcastHashJoins; the per-doc reduction is one hash "
+        "aggregate on doc_id with the decimal log-prob sum partial "
+        "map-side — the corpus crosses exactly TWO exchanges (training "
+        "agg + scoring agg), no Python anywhere:",
+        with_lm_perplexity(
+            load_table(spark, SF, "documents"), "text", "doc_id"
+        ).select("doc_id", "n_bigrams", "lm_ppl"),
+    ))
+
+    from pulsarfeatureextractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    sections.append((
+        "SemDeDup semantic dedup (cell-bounded pair generation)",
+        "cell assignment is one ArrowEvalPython (batched matmul against "
+        "the driver-trained centroids); the pair join exchanges on the "
+        "CELL id only — the all-pairs comparison never leaves a cell; "
+        "components + group sizes reuse the dedup_groups label-"
+        "propagation machinery (its per-round exchanges are on the "
+        "vocabulary-sized pair graph, not the corpus):",
+        semantic_dedup(
+            load_table(spark, SF, "embeddings"), threshold=0.45,
+            n_centroids=4,
+        ),
+    ))
+
     out = ["# PLANS — `explain(\"formatted\")` for the load-bearing plans",
            "",
            "Regenerate with `python tools/dump_plans.py`. Plan-shape",
