@@ -107,6 +107,23 @@ def build_pipeline(spark, args):
 
     n_in = docs.count()
 
+    if args.boilerplate_ratio is not None:
+        # corpus-level cleaning BEFORE any filtering: drop tokens
+        # present in >= num/den of all documents (C4-style,
+        # functions/text.py); the cleaned text replaces text_col so
+        # every downstream stage (quality, dedup shingles, splits)
+        # sees boilerplate-free documents
+        from pulsarfeatureextractor_spark.functions.text import (
+            remove_boilerplate,
+        )
+
+        num, den = (int(x) for x in args.boilerplate_ratio.split(":"))
+        docs = (
+            remove_boilerplate(docs, args.text_col, ratio=(num, den))
+            .drop(args.text_col, "n_kept")
+            .withColumnRenamed("clean_text", args.text_col)
+        )
+
     filt = docs.where(F.size(words_col(args.text_col)) >= args.min_tokens)
     if args.max_rep2 < 1.0:
         filt = with_repetition_metrics(
@@ -271,6 +288,10 @@ def main(argv=None) -> dict:
                     help="keep docs whose quality-model logit is >= this "
                          "(batch inference stage; deterministic linear "
                          "fixture — see functions/inference.py)")
+    ap.add_argument("--boilerplate-ratio", default=None,
+                    help="drop tokens present in >= NUM:DEN of all docs "
+                         "before filtering (C4-style corpus boilerplate "
+                         "removal; functions/text.py), e.g. 79:100")
     ap.add_argument("--max-ppl", type=float, default=None,
                     help="drop docs whose self-trained bigram-LM "
                          "perplexity exceeds this (CCNet-style gate; "

@@ -307,3 +307,31 @@ def test_curate_job_perplexity_filter_stage(spark, tmp_path):
     cur = spark.read.parquet(out)
     out_ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
     assert out_ids <= pass_ids
+
+
+def test_curate_job_boilerplate_stage(spark, tmp_path):
+    """Round-4: --boilerplate-ratio cleans the corpus BEFORE filtering;
+    output text contains no token from the boilerplate vocabulary."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pulsarfeatureextractor_spark.functions.text import boilerplate_tokens
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(src)
+    frequent = {r["token"]
+                for r in boilerplate_tokens(docs, ratio=(79, 100)).collect()}
+    assert frequent  # the fixture corpus has >=79%-DF tokens
+
+    out = str(tmp_path / "curated_bp")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "10", "--boilerplate-ratio", "79:100",
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    texts = [r["text"] for r in cur.select("text").collect()]
+    assert texts
+    for t in texts:
+        assert not (set(t.split(" ")) & frequent)
