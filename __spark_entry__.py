@@ -1720,6 +1720,31 @@ def mix_corpora_docs(spark, sf):
     return out.select("doc_id", "source", "n_chars", "copy_ix")
 
 
+def shard_export_docs(spark, sf):
+    """Shard-export SINK gate (sinks/shards.py): shuffle the documents
+    table into fixed-size shards, WRITE one parquet file per shard,
+    read the files back — the persisted layout must reproduce the
+    declared shuffle order exactly (same oracle as shuffle_shards_docs,
+    so the write+readback path is differentially checked end-to-end,
+    not just the in-memory rank)."""
+    import tempfile
+
+    from pulsarfeatureextractor_spark.sinks.shards import (
+        export_shuffled_shards,
+    )
+
+    d = load_table(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="shard_export_") + "/t"
+    export_shuffled_shards(d, out, shard_size=64, id_col="doc_id",
+                           seed="shuf-r4")
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        "shuffle_rank",
+        F.col("shard_ix").cast("long").alias("shard_ix"),
+    )
+
+
 def boilerplate_removal_docs(spark, sf):
     """C4-style corpus boilerplate removal (functions/text.py
     remove_boilerplate): tokens present in >=79% of documents (exact
@@ -1884,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "shard_export_docs": shard_export_docs,
     }
 
 
@@ -3208,6 +3234,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(shuffle_rank / 64) AS BIGINT) AS shard_ix
         FROM ranked
     """
+    # the sink gate shares the shuffle oracle: written files read back
+    # must reproduce the exact same (doc_id, rank, shard) assignment
+    out["shard_export_docs"] = out["shuffle_shards_docs"]
     from pulsarfeatureextractor_spark.operators.mixing import mixing_copies_sql
 
     _mix_copies = mixing_copies_sql(

@@ -1,0 +1,88 @@
+"""Fixed-size shuffled-shard export (webdataset / MosaicStreaming
+posture): the corpus in a seeded reproducible random order, cut into
+shards of exactly ``shard_size`` rows (last shard short), ONE parquet
+file per shard, rows inside each file in shuffle-rank order.
+
+Spark spelling and why it yields one file per shard:
+
+1. ``global_shuffle_rank`` (operators/shuffle.py) assigns the dense
+   global rank + ``shard_ix`` without any single-partition pass over
+   the data.
+2. ``repartition(n_shards, shard_ix)`` hash-clusters every row of a
+   shard into ONE task (all rows share the partition key; a hash
+   collision only means one task carries two whole shards, never that
+   a shard spans tasks).
+3. ``sortWithinPartitions(shard_ix, rank)`` orders rows inside the
+   task, so the writer emits each shard's rows in rank order.
+4. ``write.partitionBy(shard_ix)`` splits the task's output by shard
+   directory — exactly one file per shard, named by Spark, addressed
+   by the ``shard_ix=K`` directory.
+
+Scale posture: one range exchange (the rank), one hash exchange (the
+shard clustering), no driver-side data movement; the export manifest
+is metadata-sized (K rows, one per shard).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.shuffle import global_shuffle_rank
+
+__all__ = ["export_shuffled_shards"]
+
+
+def export_shuffled_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_size: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+    rank_out: str = "shuffle_rank",
+    shard_out: str = "shard_ix",
+) -> dict:
+    """Shuffle ``df`` deterministically and write fixed-size shards.
+
+    Returns the export manifest: ``{"n_rows", "n_shards", "shard_size",
+    "seed", "shards": [{"shard_ix", "rows"}, ...]}`` — every shard has
+    exactly ``shard_size`` rows except the last.  Output layout:
+    ``out_dir/shard_ix=K/part-*.parquet`` (one data file per shard,
+    rows in shuffle-rank order).
+    """
+    ranked = global_shuffle_rank(
+        df, id_col=id_col, seed=seed, shard_size=shard_size,
+        rank_out=rank_out, shard_out=shard_out,
+    )
+    # pin the ranked frame: the shard count (an aggregate) and the write
+    # must see the same ranks without recomputing the two-level prefix sum
+    ranked = ranked.localCheckpoint(eager=True)
+    counts = (
+        ranked.groupBy(shard_out)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy(shard_out)
+        .collect()  # metadata-sized: one row per shard
+    )
+    n_shards = len(counts)
+    (
+        ranked.repartition(max(n_shards, 1), F.col(shard_out))
+        .sortWithinPartitions(shard_out, rank_out)
+        .write.mode("overwrite")
+        .partitionBy(shard_out)
+        .parquet(out_dir)
+    )
+    shards = [{"shard_ix": r[shard_out], "rows": r["rows"]} for r in counts]
+    manifest = {
+        "n_rows": sum(s["rows"] for s in shards),
+        "n_shards": n_shards,
+        "shard_size": shard_size,
+        "seed": seed,
+        "shards": shards,
+    }
+    import json
+
+    with open(os.path.join(out_dir, "_shards.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
