@@ -129,6 +129,14 @@ def build_pipeline(spark, args):
         filt = with_repetition_metrics(
             filt, args.text_col, id_col=args.id_col
         ).where(F.col("rep_2") <= args.max_rep2).drop("rep_1", "rep_2", "rep_3")
+    # Each expensive stage (quality chain, model UDF, LM train+score)
+    # materializes exactly ONCE via localCheckpoint before its lineage
+    # count: counting the lazy chain would re-execute the model
+    # inference / LM aggregates once per count (up to 4 redundant runs
+    # of the two costliest stages at 100 TB) — the counters must read
+    # the checkpoint, never re-drive the stage.
+    filt = filt.localCheckpoint(eager=True)
+    n_stage = filt.count()
     n_model_dropped = 0
     if args.model_threshold is not None:
         # learned-quality gate: batch model inference (Arrow-batched,
@@ -144,7 +152,6 @@ def build_pipeline(spark, args):
             with_quality_metrics,
         )
 
-        pre = filt.count()
         scored = score_with_model(
             with_quality_metrics(filt, args.text_col),
             QUALITY_FEATURES,
@@ -153,28 +160,37 @@ def build_pipeline(spark, args):
         filt = scored.where(
             F.col("model_score") >= args.model_threshold
         ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
-               "distinct_tokens")
-        n_model_dropped = pre - filt.count()
+               "distinct_tokens").localCheckpoint(eager=True)
+        n_after = filt.count()
+        n_model_dropped = n_stage - n_after
+        n_stage = n_after
     n_ppl_dropped = 0
     if args.max_ppl is not None:
         # CCNet-style LM gate (functions/lm.py): self-trained bigram
-        # perplexity; high-perplexity (out-of-domain / noisy) docs drop
+        # perplexity; high-perplexity (out-of-domain / noisy) docs drop.
+        # Docs the LM CANNOT score (NULL lm_ppl — fewer than 2 non-empty
+        # tokens, e.g. whitespace padding survived --min-tokens) pass
+        # through: unjudgeable is not the same as out-of-domain, and a
+        # NULL <= x predicate would silently drop them.
         from pulsarfeatureextractor_spark.functions.lm import (
             with_lm_perplexity,
         )
 
-        pre = filt.count()
         filt = (
             with_lm_perplexity(filt, args.text_col, args.id_col)
-            .where(F.col("lm_ppl") <= args.max_ppl)
+            .where(
+                (F.col("lm_ppl") <= args.max_ppl) | F.col("lm_ppl").isNull()
+            )
             .drop("n_bigrams", "lm_ppl")
+            .localCheckpoint(eager=True)
         )
-        n_ppl_dropped = pre - filt.count()
-    # the pair graph and the split both consume the filtered set twice —
-    # materialize once (iterative CC would otherwise recompute the
+        n_after = filt.count()
+        n_ppl_dropped = n_stage - n_after
+        n_stage = n_after
+    # filt is checkpointed on every path above: the pair graph and the
+    # split both consume it (iterative CC would otherwise recompute the
     # filter chain every round)
-    filt = filt.localCheckpoint(eager=True)
-    n_filtered = filt.count()
+    n_filtered = n_stage
 
     if args.pair_source == "minhash":
         pairs = minhash_lsh_pairs(
@@ -218,10 +234,17 @@ def build_pipeline(spark, args):
             for r in kept.where(F.col(args.mix_source_col).isin(list(weights)))
             .groupBy(args.mix_source_col).agg(F.sum(cost_col)).collect()
         }
+        # the mix stage's acceptance hash is namespaced AWAY from the
+        # split's seed: with --hasher md5 both stages would otherwise
+        # share the exact md5 bucket, confining every down-sampled
+        # survivor to the low buckets — and hash_split assigns val/test
+        # from the HIGH buckets, so those splits would silently receive
+        # zero docs from any down-sampled source
         kept = mix_corpora(
             kept, weights, args.mix_budget,
             source_col=args.mix_source_col, token_col=cost_col,
-            id_col=args.id_col, seed=args.seed, max_rate=args.mix_max_rate,
+            id_col=args.id_col, seed=args.seed + "|mix",
+            max_rate=args.mix_max_rate,
         )
         achieved = {
             r[0]: r[1]

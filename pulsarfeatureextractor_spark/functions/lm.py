@@ -29,6 +29,15 @@ CAST TO DECIMAL(20,9) **before** summation, so the per-doc sum is
 exact integer arithmetic — associative, partial-aggregable, identical
 on any engine and any partitioning.  Only the final
 ``exp(-sum/n)`` returns to double, rounded to 6 decimals.
+
+Residual cross-engine risk (known, accepted): ``ln`` and ``exp`` are
+libm calls, not correctly-rounded — two engines may differ by 1 ulp,
+which flips the 9-decimal rounding only when the true value sits
+within ~1e-16 of a rounding boundary (~1e-7 per value; likewise the
+final 6-decimal ``exp``).  The driver gate runs on fixed sf0.01 data,
+where the comparison is deterministic and verified bit-exact; on other
+data a rare 1-value mismatch is possible and would indicate this libm
+gap, not a logic bug.
 """
 
 from __future__ import annotations

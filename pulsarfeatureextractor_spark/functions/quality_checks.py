@@ -65,21 +65,27 @@ def expect_not_null(col: str) -> Expectation:
 def expect_unique(col: str, exact: bool = True) -> Expectation:
     """Rule holds when distinct(col) == rows with non-null col.
 
-    ``exact=False`` swaps in approx_count_distinct (HLL±~2%) and a
-    tolerance verdict — the 100 TB gating posture.
+    ``exact=False`` swaps in approx_count_distinct (HLL, rsd pinned to
+    2% so the estimate sits well inside the 5% verdict tolerance —
+    Spark's default rsd of 5% would make borderline false failures
+    routine) and a tolerance verdict — the 100 TB gating posture.
     """
-    d = f"{col}_distinct_count"
-    n = f"{col}_nonnull_count"
+    # approx metrics get their own names: an exact and an approx rule
+    # on the SAME column would otherwise collide in the shared metrics
+    # dict and the exact verdict (tol=0) would judge the HLL estimate
+    suffix = "" if exact else "_approx"
+    d = f"{col}_distinct_count{suffix}"
+    n = f"{col}_nonnull_count{suffix}"
     tol = 0.0 if exact else 0.05
 
     def metrics():
         cnt = (F.countDistinct(F.col(col)) if exact
-               else F.approx_count_distinct(F.col(col)))
+               else F.approx_count_distinct(F.col(col), rsd=0.02))
         return {d: cnt.cast("long"),
                 n: F.count(F.col(col)).cast("long")}
 
     return Expectation(
-        name=f"unique({col})",
+        name=f"unique{suffix}({col})",
         metrics=metrics,
         verdict=lambda row, d=d, n=n, tol=tol:
             row[n] == 0 or row[d] >= row[n] * (1.0 - tol),

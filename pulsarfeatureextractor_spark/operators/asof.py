@@ -381,29 +381,11 @@ def prepare_bucketed_asof_table(
     unioned = _asof_tag_union(left, right, on, r_on, by_cols, list(value_cols))
     spark = left.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # DROP TABLE on an EXTERNAL table leaves its files behind: writing a
-    # NEW layout to the same path would let the new table's scan pick up
-    # stale part files from the prior one (duplicate rows).  Refuse
-    # rather than silently delete a user-supplied directory (ADVICE r2),
-    # UNLESS overwrite=True, which clears the target first.  The check
-    # goes through the Hadoop FileSystem API so non-local URIs
-    # (hdfs://, s3a://) are covered too — a local-only os.listdir guard
-    # silently waved remote paths through (ADVICE r3).  NOTE this makes
-    # re-running prepare on the same path non-idempotent by design:
-    # pass overwrite=True to rebuild a layout in place.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    if fs.exists(hpath) and fs.listStatus(hpath):
-        if not overwrite:
-            raise ValueError(
-                f"prepare_bucketed_asof_table: target path {path!r} is "
-                "non-empty (stale files from a prior table?). Point "
-                "each prepare at a fresh directory, or pass "
-                "overwrite=True to clear it."
-            )
-        fs.delete(hpath, True)
+    # Stale-file refusal (ADVICE r2/r3) — shared guard, Hadoop-FS-routed
+    # so hdfs:// and s3a:// targets are covered (fsutil.py).
+    from ..fsutil import ensure_empty_dir
+
+    ensure_empty_dir(spark, path, overwrite, "prepare_bucketed_asof_table")
     # one file per bucket: repartition on the SAME key/count as bucketBy
     # (identical murmur3 hash → task i holds exactly bucket i) — the
     # single write-time shuffle this layout ever pays

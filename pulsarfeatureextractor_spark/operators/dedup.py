@@ -83,6 +83,7 @@ def prepare_digest_reference(
     path: str,
     text_col: "str | None" = None,
     n_buckets: int = 32,
+    overwrite: bool = False,
 ) -> str:
     """Materialize the already-ingested corpus's digest set as a
     DIGEST-BUCKETED storage table — the one-time layout shuffle that
@@ -112,6 +113,14 @@ def prepare_digest_reference(
         raise ValueError("reference needs a 'digest' column or text_col=")
     spark = reference.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # Stale-file refusal (same hazard + same shared guard as
+    # prepare_bucketed_asof_table): DROP TABLE leaves an EXTERNAL
+    # table's part files behind, and a rebuilt reference registered at
+    # the same path would silently absorb the prior corpus's digests —
+    # new documents matching the stale set would be dropped.
+    from ..fsutil import ensure_empty_dir
+
+    ensure_empty_dir(spark, path, overwrite, "prepare_digest_reference")
     (
         ref.dropDuplicates()
         .repartition(n_buckets, F.col("digest"))

@@ -85,6 +85,11 @@ def mixing_copies_sql(
     rate = f"((({float(budget_tokens)!r} * {w}) / {wsum!r}) / {tokens_sql})"
     if max_rate is not None:
         rate = f"LEAST({rate}, {float(max_rate)!r})"
+    # a source whose available tokens are <= 0 cannot contribute: without
+    # this guard the IEEE division yields +Infinity, non-ANSI
+    # CAST(FLOOR(inf) AS INT) saturates to 2^31-1, and sequence() blows
+    # the array-size limit mid-stage instead of sampling zero copies
+    rate = f"(CASE WHEN {tokens_sql} <= 0 THEN 0.0 ELSE {rate} END)"
     bucket = _md5_bucket_expr(id_sql, seed)
     return (
         f"CAST(FLOOR({rate}) AS INT) + (CASE WHEN {bucket} < "

@@ -83,6 +83,13 @@ def export_shuffled_shards(
     }
     import json
 
-    with open(os.path.join(out_dir, "_shards.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    # Hadoop-FS write so hdfs:// / s3a:// out_dirs get their manifest
+    # too — a local open() would crash AFTER the full distributed write
+    from ..fsutil import write_text
+
+    write_text(
+        df.sparkSession,
+        os.path.join(out_dir, "_shards.json"),
+        json.dumps(manifest, indent=1),
+    )
     return manifest

@@ -261,7 +261,7 @@ def test_parse_expectations_mini_language():
         "in_set:lang:en,fr,de"
     )
     assert [r.name for r in rules] == [
-        "not_null(text)", "unique(doc_id)", "unique(source)",
+        "not_null(text)", "unique(doc_id)", "unique_approx(source)",
         "in_range(n_chars, 0.0, 1000000.0)",
         "matches(lang, '^[a-z]{2}$')",
         "in_set(lang, ['de', 'en', 'fr'])",

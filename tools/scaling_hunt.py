@@ -84,9 +84,11 @@ def capacity_probe(input_dir: str, n_files: int = 32,
     r_small = _pool_rate(n_small, files, pin=True)
     ncpu = os.cpu_count() or 32
     r_large = _pool_rate(n_large, files, pin=n_large < ncpu)
+    # denominator follows the actual proc ratio — a hardcoded 4 would
+    # silently mis-scale the ceiling for any non-4x caller
     return {f"cpu{n_small}_rows_per_sec": round(r_small, 0),
             f"cpu{n_large}_rows_per_sec": round(r_large, 0),
-            "ceiling": round(r_large / (4 * r_small), 3)}
+            "ceiling": round(r_large / ((n_large / n_small) * r_small), 3)}
 
 
 def loadavg() -> float:

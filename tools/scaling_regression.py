@@ -70,6 +70,12 @@ def load_cycles(paths: "list[str]",
 
 def ols(xs: "list[float]", ys: "list[float]") -> "dict":
     n = len(xs)
+    if n == 0:
+        raise SystemExit(
+            "scaling_regression: no valid cycles in the input files "
+            "(missing paths are skipped; error cycles carry no "
+            "efficiency) — nothing to regress"
+        )
     mx, my = sum(xs) / n, sum(ys) / n
     sxx = sum((x - mx) ** 2 for x in xs)
     sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
