@@ -599,6 +599,62 @@ def model_score_docs(spark, sf):
     )
 
 
+def quality_regression_docs(spark, sf):
+    """In-engine model TRAINING, end-to-end exact (functions/
+    regression.py — the train side of the learned-quality stage whose
+    score side is model_score_docs): fit n_chars ~ b0 + b1*n_tokens +
+    b2*distinct_tokens by least squares.  ONE map-side-combinable
+    aggregate produces the exact BIGINT sufficient statistics; the 3x3
+    normal-equation solve is a shared-text Cramer's-rule SQL expression
+    (cramer3_sql) evaluated declaratively over the one-row stats frame;
+    the fitted plane then scores every document through a broadcast
+    one-row join — the model never leaves the cluster, training costs
+    one scan at any corpus size.  The DuckDB oracle consumes the SAME
+    generated solve/predict text, so the TRAINED prediction is
+    hash-exact (integer stats are summation-order-free; IEEE ops on
+    identical expression trees round identically)."""
+    from pulsarfeatureextractor_spark.functions.regression import (
+        cramer3_sql,
+        linear_pred_sql,
+    )
+
+    d = load_table(spark, sf, "documents")
+    w = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("x1"),
+        F.size(F.array_distinct(w)).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    co = cramer3_sql("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+    wts = s.select(
+        F.expr(co["b0"]).alias("b0"),
+        F.expr(co["b1"]).alias("b1"),
+        F.expr(co["b2"]).alias("b2"),
+    )
+    pred = linear_pred_sql(
+        "b0", "b1", "b2", "CAST(x1 AS DOUBLE)", "CAST(x2 AS DOUBLE)"
+    )
+    return m.crossJoin(F.broadcast(wts)).select(
+        "doc_id",
+        (F.round(F.expr(pred), 6) + F.lit(0.0)).alias("pred_chars"),
+        (F.round(F.expr(f"CAST(y AS DOUBLE) - {pred}"), 6) + F.lit(0.0)).alias(
+            "resid_chars"
+        ),
+    )
+
+
 def token_counts_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return with_token_counts(d, "text").select("doc_id", "ws_tokens", "subword_tokens")
@@ -1883,6 +1939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays in-window via ann_cosine_topk and which remains
         # oracle-checked here in the tail (bit-exact in driver_sim).
         "embedding_neardup_exact": embedding_neardup_exact,
+        # round-4 addition: in-engine model TRAINING (one-pass
+        # sufficient-statistics least squares + declarative Cramer
+        # solve) — the train half of the learned-quality stage whose
+        # score half holds window seat model_score_docs.
+        "quality_regression_docs": quality_regression_docs,
         "orders_above_customer_avg": orders_above_customer_avg,
         "raw_bins_passthrough": raw_bins_passthrough,
         "stratified_sample_docs": stratified_sample_docs,
@@ -3272,6 +3333,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source, d.n_chars, u.copy_ix
         FROM documents d
         JOIN totals t ON d.source = t.source, unnest(range({_mix_copies})) AS u(copy_ix)
+    """
+    from pulsarfeatureextractor_spark.functions.regression import (
+        cramer3_sql,
+        linear_pred_sql,
+    )
+
+    # shared-text training oracle: the SAME cramer3_sql / linear_pred_sql
+    # strings the Spark query evaluates via F.expr, so both engines run
+    # the identical expression tree over identical exact integer stats
+    _reg_co = cramer3_sql(
+        "n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"
+    )
+    _reg_pred = linear_pred_sql(
+        "b0", "b1", "b2", "CAST(x1 AS DOUBLE)", "CAST(x2 AS DOUBLE)"
+    )
+    out["quality_regression_docs"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS x2,
+                   CAST(n_chars AS BIGINT) AS y
+            FROM documents
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM m
+        ), w AS (
+            SELECT {_reg_co["b0"]} AS b0,
+                   {_reg_co["b1"]} AS b1,
+                   {_reg_co["b2"]} AS b2
+            FROM s
+        )
+        SELECT m.doc_id,
+               ROUND({_reg_pred}, 6) + 0.0 AS pred_chars,
+               ROUND(CAST(y AS DOUBLE) - {_reg_pred}, 6) + 0.0 AS resid_chars
+        FROM m, w
     """
     out["boilerplate_removal_docs"] = """
         WITH w AS (

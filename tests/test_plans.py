@@ -200,3 +200,23 @@ def test_chunk_and_redact_fuse_into_scan(spark):
         plan = _plan(out)
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+def test_trained_model_plan_one_agg_broadcast_scoreback(spark):
+    """In-engine model training (quality_regression_docs): the fit must
+    be ONE partially-aggregated statistics pass whose one-row result
+    broadcasts back over the corpus — never a shuffle of the data side,
+    never a Python operator.  This is what makes training one-scan at
+    100 TB."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.quality_regression_docs(spark, SF))
+    # the solve rides a one-row broadcast, the corpus side stays in place
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") == 2  # partial + final, one agg
+    assert "Python" not in plan and "MapInArrow" not in plan
+    # the only exchanges: the single-row stats combine + its broadcast
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1
+    assert "BroadcastExchange" in plan
