@@ -178,7 +178,8 @@ def build_pipeline(spark, args):
                 == args.train_quality_source,
                 l2=args.train_l2,
             )
-            print(f"trained LPM quality gate: {fit}")
+            # stderr: stdout is reserved for the job's JSON result line
+            print(f"trained LPM quality gate: {fit}", file=sys.stderr)
             scored = with_linear_score(
                 feats, fit["weights"], fit["bias"], QUALITY_FEATURES
             )
@@ -385,6 +386,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--seed", default="v1")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.train_quality_source is not None and args.model_threshold is None:
+        # the training branch lives inside the --model-threshold gate;
+        # without this refusal the flag would be SILENTLY ignored and
+        # the user would believe the corpus was model-gated
+        ap.error("--train-quality-source requires --model-threshold "
+                 "(the trained model is the gate's scorer)")
 
     from pyspark.sql import SparkSession
 

@@ -44,6 +44,17 @@ numerically naive for ill-conditioned systems — that is why the
 general fit_linear_model path solves with numpy instead; the SQL twin
 exists for differential verification, where determinism beats
 conditioning.)
+
+Validity envelope of the exact path (stated, not assumed): the BIGINT
+statistics are exact while sums of x_i*x_j products stay below 2^63
+(and the subsequent CAST to DOUBLE is value-preserving below 2^53) —
+e.g. ~1e9 rows of ~1e3-magnitude features.  Beyond that, int64 SUMs
+overflow and the engines diverge (Spark non-ANSI wraps silently,
+DuckDB's HUGEINT cast raises), so the Cramer path is a VERIFICATION
+harness for gate-scale data, not the production fit: at corpus scale
+use fit_linear_model, whose double-precision sufficient statistics
+degrade gracefully (relative rounding, never wraparound) and whose
+solve is numpy's, not Cramer's.
 """
 
 from __future__ import annotations
@@ -73,6 +84,15 @@ def fit_linear_model(
     k = len(cols)
     if k == 0:
         raise ValueError("fit_linear_model: need at least one feature")
+    # NULL discipline: each F.sum skips NULLs INDEPENDENTLY, so a row
+    # with a NULL label would still feed the Gram matrix while missing
+    # from the moment vector (and a NULL feature would hit some g_ij
+    # but not others) — normal equations describing no dataset.  Fit
+    # strictly on complete rows.
+    complete = F.lit(True)
+    for c in [*cols, label_col]:
+        complete = complete & F.col(c).isNotNull()
+    df = df.where(complete)
     x = [F.lit(1.0)] + [F.col(c).cast("double") for c in cols]
     y = F.col(label_col).cast("double")
     aggs = []
@@ -86,8 +106,8 @@ def fit_linear_model(
     row = df.agg(*aggs).collect()[0]
     if row["n"] < k + 1:
         raise ValueError(
-            f"fit_linear_model: {row['n']} rows cannot determine "
-            f"{k + 1} parameters"
+            f"fit_linear_model: {row['n']} complete (non-NULL) rows "
+            f"cannot determine {k + 1} parameters"
         )
     G = np.zeros((k + 1, k + 1), dtype=np.float64)
     b = np.zeros(k + 1, dtype=np.float64)
@@ -136,8 +156,16 @@ def with_linear_score(
     tests/test_regression.py).  Prefer this over score_with_model
     whenever the model IS linear; score_with_model exists for injected
     opaque callables (ONNX / torch)."""
+    w = [float(v) for v in weights]
+    cols = list(feature_cols)
+    if len(w) != len(cols):
+        raise ValueError(
+            f"with_linear_score: {len(w)} weights for {len(cols)} "
+            f"feature columns — a silent zip-truncation here would "
+            f"gate documents on a partial model"
+        )
     z: Column = F.lit(float(bias))
-    for wj, c in zip([float(v) for v in weights], feature_cols):
+    for wj, c in zip(w, cols):
         z = z + F.lit(wj) * F.col(c).cast("double")
     return df.withColumn(output_col, z)
 
@@ -157,7 +185,16 @@ def cramer3_sql(
     ``[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] · [b0,b1,b2] = [sy,s1y,s2y]``
     as three ANSI-SQL expressions over the named statistic columns
     (exact BIGINTs; every reference is cast to DOUBLE exactly once).
-    Fully parenthesized first-row cofactor expansion — fixed tree."""
+    Fully parenthesized first-row cofactor expansion — fixed tree.
+
+    A singular system (determinant exactly 0 — e.g. a degenerate
+    corpus where every row has identical features) yields NULL
+    coefficients on BOTH engines: the division goes through
+    NULLIF(D, 0.0) because raw double division-by-zero is where the
+    engines diverge (Spark non-ANSI returns NULL, DuckDB returns
+    ±inf/nan) — NULL is the one value they hash identically, and it
+    propagates visibly into every prediction instead of silently
+    disagreeing."""
     d = {k: f"CAST({v} AS DOUBLE)" for k, v in
          dict(n=n, s1=s1, s2=s2, sy=sy, s11=s11, s12=s12, s22=s22,
               s1y=s1y, s2y=s2y).items()}
@@ -182,8 +219,9 @@ def cramer3_sql(
     D2 = det(d["n"], d["s1"], d["sy"],
              d["s1"], d["s11"], d["s1y"],
              d["s2"], d["s12"], d["s2y"])
-    return {"b0": f"({D0} / {D})", "b1": f"({D1} / {D})",
-            "b2": f"({D2} / {D})", "det": D}
+    safe_d = f"NULLIF({D}, 0.0)"
+    return {"b0": f"({D0} / {safe_d})", "b1": f"({D1} / {safe_d})",
+            "b2": f"({D2} / {safe_d})", "det": D}
 
 
 def linear_pred_sql(b0: str, b1: str, b2: str, x1: str, x2: str) -> str:

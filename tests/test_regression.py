@@ -223,3 +223,65 @@ def test_curate_job_trained_quality_gate(spark, tmp_path):
         "metrics"
     ]
     assert m["dropped_model"] >= len(must_fail)
+
+
+def test_fit_excludes_incomplete_rows(spark):
+    """Rows with a NULL label or feature must not feed the fit at all:
+    per-column F.sum NULL-skipping would otherwise build a Gram matrix
+    and moment vector from DIFFERENT row sets."""
+    clean = [(float(i), float(2 * i + 1)) for i in range(10)]
+    df_clean = spark.createDataFrame(clean, "f0 double, label double")
+    dirty = clean + [(999.0, None), (None, 999.0), (None, None)]
+    df_dirty = spark.createDataFrame(dirty, "f0 double, label double")
+    a = fit_linear_model(df_clean, ["f0"], "label")
+    b = fit_linear_model(df_dirty, ["f0"], "label")
+    assert a == b  # NULL rows contributed nothing anywhere
+    # all-NULL labels: zero complete rows -> clear error, not TypeError
+    df_null = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "f0 double, label double"
+    )
+    with pytest.raises(ValueError, match="complete"):
+        fit_linear_model(df_null, ["f0"], "label")
+
+
+def test_singular_system_yields_null_on_both_engines(spark):
+    """Degenerate corpus (identical features everywhere -> determinant
+    exactly 0): the shared-text Cramer solve must produce NULL on BOTH
+    engines (raw double x/0.0 is where they diverge: Spark NULL,
+    DuckDB inf)."""
+    import duckdb
+
+    co = cramer3_sql("n", "s1", "s2", "sy", "s11", "s12", "s22",
+                     "s1y", "s2y")
+    stats_sql = (
+        "SELECT CAST(4 AS BIGINT) AS n, CAST(8 AS BIGINT) AS s1, "
+        "CAST(12 AS BIGINT) AS s2, CAST(40 AS BIGINT) AS sy, "
+        "CAST(16 AS BIGINT) AS s11, CAST(24 AS BIGINT) AS s12, "
+        "CAST(36 AS BIGINT) AS s22, CAST(80 AS BIGINT) AS s1y, "
+        "CAST(120 AS BIGINT) AS s2y"
+    )  # every row has x1=2, x2=3 -> rank-1 system, D = 0
+    q = f"SELECT {co['b0']} AS b0, {co['b1']} AS b1, {co['b2']} AS b2 FROM ({stats_sql})"
+    srow = spark.sql(q).collect()[0]
+    drow = duckdb.sql(q).fetchone()
+    assert (srow["b0"], srow["b1"], srow["b2"]) == (None, None, None)
+    assert drow == (None, None, None)
+
+
+def test_with_linear_score_rejects_length_mismatch(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "f0 double, f1 double")
+    with pytest.raises(ValueError, match="weights for"):
+        with_linear_score(df, [1.0], 0.0, ["f0", "f1"])
+
+
+def test_cli_train_without_threshold_refused(tmp_path):
+    """--train-quality-source without --model-threshold must refuse
+    loudly, not silently skip the gate."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    with pytest.raises(SystemExit):
+        curate_corpus.main([
+            "--input", "/root/testdata/sf0.01/documents.parquet",
+            "--output", str(tmp_path / "x"),
+            "--train-quality-source", "src0",
+        ])
