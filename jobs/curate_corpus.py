@@ -237,26 +237,46 @@ def build_pipeline(spark, args):
     )
     mix = None
     n_canonical = None
-    if args.mix_weights:
+    if args.mix_weights or args.mix_temperature is not None:
         # recipe stage (operators/mixing.py): re-weight the canonical
         # set to the token budget BEFORE splitting — copies of a doc
         # share its id, so the hash split keeps all epochs of a doc in
         # one split (no eval leakage through up-sampling)
-        from pulsarfeatureextractor_spark.operators.mixing import mix_corpora
+        from pulsarfeatureextractor_spark.operators.mixing import (
+            mix_corpora,
+            source_token_counts,
+            temperature_weights,
+        )
 
         if args.mix_budget is None:
-            raise ValueError("--mix-weights requires --mix-budget")
+            raise ValueError(
+                "--mix-weights / --mix-temperature require --mix-budget"
+            )
+        if args.mix_weights and args.mix_temperature is not None:
+            raise ValueError(
+                "--mix-weights and --mix-temperature are exclusive: one "
+                "recipe may name its weights or derive them, not both"
+            )
         # the canonical count must be taken BEFORE re-sampling — the
         # mixed output legitimately repeats and drops rows
         kept = kept.localCheckpoint(eager=True)
         n_canonical = kept.count()
-        weights = dict(parse_weights(args.mix_weights))
         cost_col = args.mix_cost_col
         if cost_col is None:
             kept = kept.withColumn(
                 "__mix_cost", F.length(F.col(args.text_col)).cast("long")
             )
             cost_col = "__mix_cost"
+        if args.mix_temperature is not None:
+            # mT5/XLM-R-style alpha-sampling: derive the recipe from the
+            # corpus's OWN available-token distribution (one extra
+            # K-source aggregate)
+            weights = temperature_weights(
+                source_token_counts(kept, args.mix_source_col, cost_col),
+                alpha=args.mix_temperature,
+            )
+        else:
+            weights = dict(parse_weights(args.mix_weights))
         avail = {
             r[0]: r[1]
             for r in kept.where(F.col(args.mix_source_col).isin(list(weights)))
@@ -284,6 +304,7 @@ def build_pipeline(spark, args):
         wsum = sum(weights.values())
         mix = {
             "weights": weights,
+            "temperature": args.mix_temperature,
             "budget_tokens": args.mix_budget,
             "max_rate": args.mix_max_rate,
             "available_tokens": avail,
@@ -368,6 +389,10 @@ def main(argv=None) -> dict:
                          "mixture weights, e.g. 'web:0.67,code:0.15' "
                          "(sources absent from the recipe are dropped; "
                          "see operators/mixing.py)")
+    ap.add_argument("--mix-temperature", type=float, default=None,
+                    help="derive mixture weights from the corpus's own "
+                         "token distribution: w_s ~ p_s**alpha (mT5/XLM-R "
+                         "alpha-sampling; exclusive with --mix-weights)")
     ap.add_argument("--mix-budget", type=float, default=None,
                     help="total token budget the mixture targets "
                          "(required with --mix-weights)")

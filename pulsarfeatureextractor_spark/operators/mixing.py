@@ -46,7 +46,53 @@ from pyspark.sql import functions as F
 
 from ..functions.splits import _MD5_BUCKETS, _md5_bucket_expr
 
-__all__ = ["mix_corpora", "mixing_copies_sql"]
+__all__ = [
+    "mix_corpora",
+    "mixing_copies_sql",
+    "source_token_counts",
+    "temperature_weights",
+]
+
+
+def source_token_counts(
+    df: DataFrame, source_col: str = "source", token_col: str = "n_chars"
+) -> "dict[str, float]":
+    """Per-source available-token totals as a plain dict — ONE
+    map-side-combinable aggregate whose result is K rows for K sources
+    (metadata-sized collect, same class as the mixing rate table)."""
+    return {
+        r[0]: float(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("double"))
+        .collect()
+        if r[0] is not None
+    }
+
+
+def temperature_weights(
+    token_counts: "Mapping[str, float]", alpha: float = 0.3
+) -> "dict[str, float]":
+    """Temperature-based mixture weights: ``w_s ∝ p_s**alpha`` where
+    ``p_s`` is source s's share of available tokens — the mT5 / XLM-R
+    sampling rule (their α≈0.3; some papers write a temperature T with
+    exponent 1/T, so T≈3.33 is the same thing).  α=1 reproduces the
+    natural distribution; α→0 approaches uniform; in between,
+    low-resource sources are up-weighted without letting any single
+    giant source dominate the budget.
+
+    Pure driver-side arithmetic over the K-entry counts dict (pair it
+    with :func:`source_token_counts`); feed the result straight into
+    :func:`mix_corpora` as ``weights``.  Weights are normalized to sum
+    to 1 so recipes stay human-readable in lineage metadata."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    pos = {s: c for s, c in token_counts.items() if c > 0}
+    if not pos:
+        raise ValueError("temperature_weights: no source has tokens")
+    total = sum(pos.values())
+    raw = {s: (c / total) ** alpha for s, c in pos.items()}
+    z = sum(raw.values())
+    return {s: v / z for s, v in sorted(raw.items())}
 
 
 def _weight_case_sql(source_sql: str, weights: Mapping[str, float]) -> str:

@@ -335,3 +335,33 @@ def test_curate_job_boilerplate_stage(spark, tmp_path):
     assert texts
     for t in texts:
         assert not (set(t.split(" ")) & frequent)
+
+
+def test_curate_job_mix_temperature_stage(spark, tmp_path):
+    """--mix-temperature: the recipe derives its weights from the
+    corpus's own token distribution (alpha-sampling), records them in
+    lineage, and refuses to combine with --mix-weights."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "cur_mix_temp")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--mix-temperature", "0.3", "--mix-budget", "30000",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    mix = side["mix"]
+    assert mix["temperature"] == 0.3
+    # derived weights: normalized, one per surviving source
+    assert abs(sum(mix["weights"].values()) - 1.0) < 1e-9
+    assert set(mix["achieved_tokens"]) <= set(mix["weights"])
+    with pytest.raises(ValueError, match="exclusive"):
+        curate_corpus.main([
+            "--input", src, "--output", str(tmp_path / "x"),
+            "--mix-temperature", "0.3", "--mix-weights", "src0:1",
+            "--mix-budget", "1000",
+        ])

@@ -159,3 +159,77 @@ def test_plan_corpus_side_not_shuffled(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Sort [") == 0, plan
+
+
+def test_temperature_weights_math():
+    """alpha=1 reproduces the natural shares; alpha=0 is uniform; in
+    between the low-resource source gains share monotonically."""
+    from pulsarfeatureextractor_spark.operators.mixing import (
+        temperature_weights,
+    )
+
+    counts = {"web": 900.0, "wiki": 100.0}
+    nat = temperature_weights(counts, alpha=1.0)
+    assert abs(nat["web"] - 0.9) < 1e-12 and abs(nat["wiki"] - 0.1) < 1e-12
+    uni = temperature_weights(counts, alpha=0.0)
+    assert abs(uni["web"] - 0.5) < 1e-12
+    mid = temperature_weights(counts, alpha=0.3)
+    assert 0.1 < mid["wiki"] < 0.5  # up-weighted but not past uniform
+    assert abs(sum(mid.values()) - 1.0) < 1e-12
+    # zero-token sources are excluded, not divided by
+    w = temperature_weights({"a": 100.0, "b": 0.0}, alpha=0.3)
+    assert set(w) == {"a"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(counts, alpha=1.5)
+    with _pytest.raises(ValueError, match="no source"):
+        temperature_weights({"a": 0.0}, alpha=0.3)
+
+
+def test_source_token_counts_matches_groupby(spark):
+    from pulsarfeatureextractor_spark.operators.mixing import (
+        source_token_counts,
+    )
+
+    df = _corpus(spark, 300)
+    got = source_token_counts(df, "source", "n_chars")
+    want = {
+        r[0]: float(r[1])
+        for r in df.groupBy("source").agg(F.sum("n_chars")).collect()
+    }
+    assert got == want
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """End to end: alpha-derived weights make the mixed corpus's
+    token shares strictly more uniform than the input's."""
+    from pulsarfeatureextractor_spark.operators.mixing import (
+        mix_corpora,
+        source_token_counts,
+        temperature_weights,
+    )
+
+    rows = [
+        (sid * 100000 + i, src, 100 + i * 7 % 400)
+        for sid, (src, n) in enumerate(
+            [("web", 3000), ("books", 400), ("wiki", 100)]
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    counts = source_token_counts(df, "source", "n_chars")
+    shares_in = {s: c / sum(counts.values()) for s, c in counts.items()}
+    w = temperature_weights(counts, alpha=0.3)
+    mixed = mix_corpora(df, w, budget_tokens=sum(counts.values()), seed="t")
+    out_counts = {
+        r[0]: float(r[1])
+        for r in mixed.groupBy("source").agg(F.sum("n_chars")).collect()
+    }
+    shares_out = {s: c / sum(out_counts.values()) for s, c in out_counts.items()}
+    # the dominant source's share must shrink toward uniform
+    top = max(shares_in, key=shares_in.get)
+    k = len(shares_in)
+    assert 1.0 / k <= shares_out[top] < shares_in[top]
