@@ -61,6 +61,7 @@ HEADLINE = [
     "contamination_check_docs",    # eval-vs-corpus shingle overlap
     "boilerplate_removal_docs",    # C4-style corpus boilerplate removal
     "lm_perplexity_docs",          # CCNet-style bigram-LM perplexity
+    "quality_regression_docs",     # in-engine model training (suff-stats fit)
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
 
