@@ -138,7 +138,10 @@ def build_pipeline(spark, args):
     filt = filt.localCheckpoint(eager=True)
     n_stage = filt.count()
     n_model_dropped = 0
-    if args.model_threshold is not None:
+    model_gate_on = (
+        args.model_threshold is not None or args.model_percentile is not None
+    )
+    if model_gate_on:
         # learned-quality gate: batch model inference (Arrow-batched,
         # functions/inference.py).  The deterministic linear fixture
         # stands in for a real classifier here; a deployment passes its
@@ -185,8 +188,29 @@ def build_pipeline(spark, args):
             )
         else:
             scored = score_with_model(feats, QUALITY_FEATURES, quality_model())
+        if args.model_percentile is not None:
+            # "keep the top P fraction" gate: the cutoff is the
+            # (1-P)-quantile of the scores — ONE distributed
+            # Greenwald-Khanna pass (approxQuantile; rel. error 0.001,
+            # i.e. a ±0.1 %-of-rank boundary blur, the right trade at
+            # corpus scale where an exact global sort for a threshold
+            # would cost a full range shuffle).  The UDF-scored path
+            # evaluates scores once here and once in the filter — both
+            # over the checkpointed stage input, never re-driving
+            # upstream stages; the trained path's scores are plain
+            # codegen arithmetic (no extra model cost at all).
+            cut = scored.approxQuantile(
+                "model_score", [1.0 - args.model_percentile], 0.001
+            )[0]
+            print(
+                f"model gate: keep-top {args.model_percentile:.4f} -> "
+                f"score cutoff {cut!r}",
+                file=sys.stderr,
+            )
+        else:
+            cut = args.model_threshold
         filt = scored.where(
-            F.col("model_score") >= args.model_threshold
+            F.col("model_score") >= cut
         ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
                "distinct_tokens").localCheckpoint(eager=True)
         n_after = filt.count()
@@ -360,6 +384,10 @@ def main(argv=None) -> dict:
                     help="keep docs whose quality-model logit is >= this "
                          "(batch inference stage; deterministic linear "
                          "fixture — see functions/inference.py)")
+    ap.add_argument("--model-percentile", type=float, default=None,
+                    help="keep the top P fraction (0<P<1) by model score; "
+                         "the cutoff is the (1-P) approx-quantile — "
+                         "exclusive with --model-threshold")
     ap.add_argument("--train-quality-source", default=None,
                     help="train the --model-threshold gate in-engine: "
                          "one-pass LPM of (source == SRC) on the quality "
@@ -411,12 +439,22 @@ def main(argv=None) -> dict:
     ap.add_argument("--seed", default="v1")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
-    if args.train_quality_source is not None and args.model_threshold is None:
-        # the training branch lives inside the --model-threshold gate;
-        # without this refusal the flag would be SILENTLY ignored and
-        # the user would believe the corpus was model-gated
-        ap.error("--train-quality-source requires --model-threshold "
-                 "(the trained model is the gate's scorer)")
+    if args.model_threshold is not None and args.model_percentile is not None:
+        ap.error("--model-threshold and --model-percentile are exclusive: "
+                 "one gate, one cutoff rule")
+    if args.model_percentile is not None and not (
+        0.0 < args.model_percentile < 1.0
+    ):
+        ap.error("--model-percentile must be in (0, 1)")
+    if (args.train_quality_source is not None
+            and args.model_threshold is None
+            and args.model_percentile is None):
+        # the training branch lives inside the model gate; without this
+        # refusal the flag would be SILENTLY ignored and the user would
+        # believe the corpus was model-gated
+        ap.error("--train-quality-source requires --model-threshold or "
+                 "--model-percentile (the trained model is the gate's "
+                 "scorer)")
 
     from pyspark.sql import SparkSession
 

@@ -365,3 +365,47 @@ def test_curate_job_mix_temperature_stage(spark, tmp_path):
             "--mix-temperature", "0.3", "--mix-weights", "src0:1",
             "--mix-budget", "1000",
         ])
+
+
+def test_curate_job_model_percentile_gate(spark, tmp_path):
+    """--model-percentile: keeps ~the top P fraction by model score
+    (approx-quantile cutoff), and the threshold/percentile flags are
+    mutually exclusive."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pyspark.sql import functions as F
+    from pulsarfeatureextractor_spark.functions.text import words_col
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "cur_pct")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20",
+        "--train-quality-source", "src0",
+        "--model-percentile", "0.5",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    m = json.load(open(os.path.join(out, parts[0], "_lineage.json")))[
+        "metrics"
+    ]
+    n_len = (
+        spark.read.parquet(src)
+        .where(F.size(words_col("text")) >= 20)
+        .count()
+    )
+    kept = m["docs_after_quality"]
+    # top-50% gate: kept fraction within approx-quantile + tie slack
+    assert 0.35 * n_len <= kept <= 0.65 * n_len, (kept, n_len)
+    with pytest.raises(SystemExit):
+        curate_corpus.main([
+            "--input", src, "--output", str(tmp_path / "x"),
+            "--model-threshold", "0.0", "--model-percentile", "0.5",
+        ])
+    with pytest.raises(SystemExit):
+        curate_corpus.main([
+            "--input", src, "--output", str(tmp_path / "y"),
+            "--model-percentile", "1.5",
+        ])

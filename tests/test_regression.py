@@ -285,3 +285,78 @@ def test_cli_train_without_threshold_refused(tmp_path):
             "--output", str(tmp_path / "x"),
             "--train-quality-source", "src0",
         ])
+
+
+# ---- property tests (hypothesis; DuckDB evaluates the shared SQL, so
+# each example costs microseconds, no Spark round-trip) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    b0=st.integers(-50, 50),
+    b1=st.integers(-50, 50),
+    b2=st.integers(-50, 50),
+)
+def test_cramer3_recovers_any_integer_plane_exactly(b0, b1, b2):
+    """For ANY residual-free integer plane over a non-degenerate grid,
+    the shared-text Cramer solve must recover the coefficients EXACTLY
+    (integer statistics + IEEE-exact small-determinant arithmetic) —
+    evaluated through DuckDB, the oracle engine of the driver gate."""
+    import duckdb
+
+    co = cramer3_sql("n", "s1", "s2", "sy", "s11", "s12", "s22",
+                     "s1y", "s2y")
+    got = duckdb.sql(f"""
+        WITH m AS (
+            SELECT x1, x2, {b0} + {b1} * x1 + {b2} * x2 AS y
+            FROM (SELECT unnest(range(1, 7)) AS x1),
+                 (SELECT unnest(range(1, 7)) AS x2)
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM m
+        )
+        SELECT {co['b0']}, {co['b1']}, {co['b2']} FROM s
+    """).fetchone()
+    assert got == (float(b0), float(b1), float(b2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.floats(1.0, 1e12, allow_nan=False),
+        min_size=2,
+        max_size=5,
+    ),
+    alpha=st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_temperature_weights_properties(counts, alpha):
+    """Invariants for any counts/alpha: weights normalize to 1, ranking
+    is preserved, and the dominant share never EXCEEDS its natural
+    share (alpha<=1 only ever flattens)."""
+    from pulsarfeatureextractor_spark.operators.mixing import (
+        temperature_weights,
+    )
+
+    w = temperature_weights(counts, alpha=alpha)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert set(w) == set(counts)
+    total = sum(counts.values())
+    top = max(counts, key=counts.get)
+    # order preservation
+    for s in w:
+        if counts[s] < counts[top]:
+            assert w[s] <= w[top] + 1e-12
+    # flattening: the biggest source's share never grows
+    assert w[top] <= counts[top] / total + 1e-9
