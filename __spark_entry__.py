@@ -655,6 +655,31 @@ def quality_regression_docs(spark, sf):
     )
 
 
+def embedding_generation_docs(spark, sf):
+    """Docs→embeddings generation (functions/inference.py
+    embed_with_model): vector-output batch inference through ONE
+    Arrow-batched pandas UDF — the stage that PRODUCES the embedding
+    column every banded/bucketed consumer here reads (ANN, embedding
+    near-dup, SemDeDup).  The deterministic length-bucket fixture
+    stands in for a sentence-transformer/ONNX encoder; each value is
+    one exact integer-count division, so the DuckDB twin is
+    bit-identical with NO rounding.  The vector serializes as
+    (doc_id, dim_ix, value) rows — the driver's comparator cannot hash
+    array cells."""
+    from pulsarfeatureextractor_spark.functions.inference import (
+        embed_with_model,
+        length_bucket_embedder,
+    )
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    emb = embed_with_model(d, "text", length_bucket_embedder(8), dim=8)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_ix", "value")
+    )
+
+
 def token_counts_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     return with_token_counts(d, "text").select("doc_id", "ws_tokens", "subword_tokens")
@@ -1944,6 +1969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # solve) — the train half of the learned-quality stage whose
         # score half holds window seat model_score_docs.
         "quality_regression_docs": quality_regression_docs,
+        # round-4 addition: docs->embeddings generation (vector-output
+        # batch inference; the producer of the embedding column the
+        # ANN / near-dup / SemDeDup consumers read).
+        "embedding_generation_docs": embedding_generation_docs,
         "orders_above_customer_avg": orders_above_customer_avg,
         "raw_bins_passthrough": raw_bins_passthrough,
         "stratified_sample_docs": stratified_sample_docs,
@@ -3377,6 +3406,27 @@ def oracle_sql() -> dict[str, str]:
                ROUND({_reg_pred}, 6) + 0.0 AS pred_chars,
                ROUND(CAST(y AS DOUBLE) - {_reg_pred}, 6) + 0.0 AS resid_chars
         FROM m, w
+    """
+    out["embedding_generation_docs"] = """
+        -- independent SQL twin of the length-bucket embedding fixture:
+        -- dimension d = fraction of non-empty tokens with length % 8 = d.
+        -- Integer counts cast to DOUBLE, ONE division -> bit-identical
+        -- to the Python encoder with no rounding anywhere.
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               t -> t <> '') AS ws
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, ws, len(ws) AS n FROM base
+        )
+        SELECT sized.doc_id,
+               CAST(d.dim_ix AS INT) AS dim_ix,
+               CASE WHEN n = 0 THEN 0.0 ELSE
+                   CAST(len(list_filter(ws, t -> length(t) % 8 = d.dim_ix))
+                        AS DOUBLE) / CAST(n AS DOUBLE)
+               END AS value
+        FROM sized, (SELECT unnest(range(8)) AS dim_ix) d
     """
     out["boilerplate_removal_docs"] = """
         WITH w AS (

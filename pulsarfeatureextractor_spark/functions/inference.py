@@ -154,3 +154,83 @@ def keep_flag(score_col: str = "model_score", threshold: float = 0.0) -> Column:
     """JVM-side keep predicate on the scored column (exact float
     comparison — safe because the logit itself is deterministic)."""
     return F.col(score_col) >= F.lit(float(threshold))
+
+
+EmbedFn = Callable[["list[str]"], np.ndarray]
+
+
+def embed_with_model(
+    df: DataFrame,
+    text_col: str,
+    model: EmbedFn,
+    output_col: str = "embedding",
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Vector-output batch inference — the docs→embeddings stage whose
+    CONSUMERS this engine already ships (ANN top-k, embedding near-dup,
+    SemDeDup semantic dedup all read an ``array`` embedding column; this
+    is the operator that produces it in-pipeline).
+
+    Same injection contract as :func:`score_with_model`, vector-shaped:
+    ``model`` is any callable ``(list[str] texts) -> np.ndarray[n, d]
+    float64`` — a sentence-transformer ``encode``, an ONNX encoder
+    session, or the deterministic :func:`length_bucket_embedder`
+    fixture.  One Arrow-batched scalar pandas UDF returning
+    ``array<double>``: the encoder is called once per ~10k-row batch,
+    there is no shuffle, and the embedding lands as a plain column the
+    downstream bucketed/banded operators consume without another pass.
+    NULL text embeds as a NULL vector (the model never sees it) so the
+    caller decides the policy instead of the encoder crashing on None.
+    """
+    if dim is not None and dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = [None] * len(s)
+        texts = s[mask].tolist()
+        if texts:
+            X = np.asarray(model(texts), dtype=np.float64)
+            if X.ndim != 2 or len(X) != len(texts) or (
+                dim is not None and X.shape[1] != dim
+            ):
+                raise ValueError(
+                    f"embedder returned shape {X.shape}, expected "
+                    f"({len(texts)}, {dim if dim is not None else 'd'})"
+                )
+            rows = X.tolist()
+            j = 0
+            for i, ok in enumerate(mask.tolist()):
+                if ok:
+                    out[i] = rows[j]
+                    j += 1
+        return pd.Series(out)
+
+    # same exactly-once rationale as score_with_model: stop the
+    # optimizer from cloning an expensive encoder across plan boundaries
+    embedder = _embed.asNondeterministic()
+    return df.withColumn(output_col, embedder(F.col(text_col)))
+
+
+def length_bucket_embedder(dim: int = 8) -> EmbedFn:
+    """Deterministic embedding fixture: dimension d holds the fraction
+    of (non-empty, single-space-split) tokens whose length ≡ d (mod
+    dim); zero tokens → the zero vector.  Every value is ONE exact
+    integer-count division, so the SQL twin (integer counts cast to
+    DOUBLE, one division) is bit-identical on any engine — which makes
+    the embedding-generation query hash-exact with no rounding at all.
+    """
+
+    def encode(texts: "list[str]") -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = [w for w in t.split(" ") if w]
+            if not toks:
+                continue
+            for w in toks:
+                out[i, len(w) % dim] += 1.0
+            out[i] /= float(len(toks))
+        return out
+
+    return encode
