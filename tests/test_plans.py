@@ -220,3 +220,16 @@ def test_trained_model_plan_one_agg_broadcast_scoreback(spark):
 
     assert len(re.findall(r"\bExchange\b", plan)) <= 1
     assert "BroadcastExchange" in plan
+
+
+def test_embedding_generation_plan_pure_map(spark):
+    """Docs->embeddings generation must be a pure map: one
+    ArrowEvalPython (the encoder, batched), the explode Generate, no
+    Exchange anywhere — at 100 TB this stage rides whatever
+    partitioning the pipeline already has."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.embedding_generation_docs(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
