@@ -162,8 +162,9 @@ def build_pipeline(spark, args):
             # the quality features — one extra scan + a 4x4 driver
             # solve at any corpus size — then score it as pure JVM
             # column arithmetic (no UDF).  Docs resembling the trusted
-            # source score near 1, so --model-threshold gates on
-            # learned similarity-to-SRC instead of fixed weights.
+            # source score near 1, so the gate (--model-threshold or
+            # --model-percentile) cuts on learned similarity-to-SRC
+            # instead of fixed weights.
             if args.train_quality_source_col not in feats.columns:
                 raise SystemExit(
                     f"--train-quality-source needs column "
@@ -194,14 +195,20 @@ def build_pipeline(spark, args):
             # Greenwald-Khanna pass (approxQuantile; rel. error 0.001,
             # i.e. a ±0.1 %-of-rank boundary blur, the right trade at
             # corpus scale where an exact global sort for a threshold
-            # would cost a full range shuffle).  The UDF-scored path
-            # evaluates scores once here and once in the filter — both
-            # over the checkpointed stage input, never re-driving
-            # upstream stages; the trained path's scores are plain
-            # codegen arithmetic (no extra model cost at all).
-            cut = scored.approxQuantile(
+            # would cost a full range shuffle).  The scores materialize
+            # ONCE (the file-wide exactly-once invariant): without this
+            # checkpoint the quantile action and the filter would each
+            # re-drive the model UDF — double inference cost, and a
+            # nondeterministic deployment model would hand the cutoff
+            # and the filter DIFFERENT scores.
+            scored = scored.localCheckpoint(eager=True)
+            qs = scored.approxQuantile(
                 "model_score", [1.0 - args.model_percentile], 0.001
-            )[0]
+            )
+            # approxQuantile returns [] on an empty/all-null stage
+            # (upstream filters can legitimately drop everything) —
+            # an empty corpus keeps nothing, it doesn't crash
+            cut = qs[0] if qs else float("inf")
             print(
                 f"model gate: keep-top {args.model_percentile:.4f} -> "
                 f"score cutoff {cut!r}",
@@ -389,7 +396,8 @@ def main(argv=None) -> dict:
                          "the cutoff is the (1-P) approx-quantile — "
                          "exclusive with --model-threshold")
     ap.add_argument("--train-quality-source", default=None,
-                    help="train the --model-threshold gate in-engine: "
+                    help="train the model gate in-engine (pair with "
+                         "--model-threshold or --model-percentile): "
                          "one-pass LPM of (source == SRC) on the quality "
                          "features replaces the injected model")
     ap.add_argument("--train-quality-source-col", default="source")

@@ -223,21 +223,22 @@ def test_embed_called_batched_and_feeds_consumers(spark, sf_smoke):
 
     docs = load_table(spark, sf_smoke, "documents").limit(50)
 
-    calls = []
-
-    def recording_encoder(texts):
-        calls.append(len(texts))
-        return length_bucket_embedder(8)(texts)
+    # the encoder runs on executors — a driver-side recording list
+    # never sees the calls (cloudpickle copies it by value), so prove
+    # batching STRUCTURALLY, like test_model_called_batched_not_per_row:
+    # an encoder that REJECTS batches smaller than 2 texts still
+    # succeeds over a single-partition input.
+    class MinBatchEncoder:
+        def __call__(self, texts):
+            if len(texts) < 2:
+                raise AssertionError("encoder called per-row")
+            return np.zeros((len(texts), 8))
 
     out = embed_with_model(
-        docs.coalesce(1), "text", recording_encoder, dim=8
+        docs.coalesce(1), "text", MinBatchEncoder(), dim=8
     )
     n = out.where(F.col("embedding").isNotNull()).count()
     assert n == 50
-    # batched: far fewer calls than rows (single partition -> 1 batch)
-    # NB: `calls` mutates only because coalesce(1) keeps execution in
-    # one python worker and cloudpickle round-trips the closure —
-    # asserting on the count() forcing a single Arrow batch
     emb = embed_with_model(
         docs, "text", length_bucket_embedder(8), dim=8
     )

@@ -409,3 +409,23 @@ def test_curate_job_model_percentile_gate(spark, tmp_path):
             "--input", src, "--output", str(tmp_path / "y"),
             "--model-percentile", "1.5",
         ])
+
+
+def test_curate_job_percentile_gate_empty_stage(spark, tmp_path):
+    """--model-percentile on a stage whose upstream filters dropped
+    every doc: approxQuantile returns [] — the job must keep nothing,
+    not crash with IndexError."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "cur_pct_empty")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "1000000",  # drops every document
+        "--model-percentile", "0.5",
+    ])
+    assert res["written"] == [] or all(
+        spark.read.parquet(out).count() == 0 for _ in [0]
+    )
