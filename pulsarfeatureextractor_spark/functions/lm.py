@@ -16,9 +16,12 @@ Plan shape / 100 TB posture:
   table*, vocabulary-squared-bounded, not the corpus);  V is a 1-row
   broadcast cross-join, never a driver collect (tfidf.py shape);
 - scoring joins the corpus against the LM on (w1, w2) then (w1) —
-  both LM sides are vocabulary-bounded, broadcast by default
-  (``broadcast_lm=False`` for unbounded vocabularies lets AQE pick a
-  shuffle join);
+  by default NO broadcast hint is planted (``broadcast_lm=False``):
+  the bigram-count table grows with corpus token diversity, not a
+  fixed vocabulary, so a hard-coded broadcast is an executor-OOM trap
+  at the 100 TB posture; AQE picks a broadcast join automatically when
+  the measured LM size is under the threshold.  Pass
+  ``broadcast_lm=True`` only when the vocabulary is known-bounded;
 - the per-doc reduction is one hash aggregate on doc_id.
 
 Float discipline (the driver's DuckDB differential compares value
@@ -95,13 +98,18 @@ def with_lm_perplexity(
     train_df: DataFrame | None = None,
     out_col: str = "lm_ppl",
     n_out: str = "n_bigrams",
-    broadcast_lm: bool = True,
+    broadcast_lm: bool = False,
 ) -> DataFrame:
     """Score every document's bigram perplexity under the LM trained on
     ``train_df`` (default: the scored corpus itself — the CCNet
     in-domain reference).  Output = input columns + ``n_out`` +
     ``out_col``; documents with fewer than 2 tokens score NULL
     perplexity and 0 bigrams.
+
+    ``broadcast_lm`` defaults to False: the bigram table's size tracks
+    the training corpus (not a bounded vocabulary), so the safe default
+    lets AQE choose the join strategy from measured sizes; set True to
+    force a broadcast when the vocabulary is known-bounded.
     """
     bi, ctx, vocab = train_bigram_lm(
         train_df if train_df is not None else df, text_col, id_col

@@ -314,7 +314,12 @@ def remove_boilerplate(
             "raise the threshold ratio or max_frequent"
         )
     tokens = sorted(r["token"] for r in rows)
-    words = F.filter(words_col(text_col), lambda w: w != F.lit(""))
+    # NULL text must behave as '' (0 tokens kept, clean_text '') — the
+    # DuckDB differential oracle coalesces, so the engine must too
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
     if tokens:
         clean = F.filter(words, lambda w: ~w.isin(*tokens))
     else:

@@ -136,7 +136,10 @@ def _train_spherical_centroids(
             ),
             F.lit(1 << 31),
         ),
-    ).orderBy("__h").drop(id_col)
+        # id as secondary key: two ids colliding in the same 2^31 bucket
+        # must order deterministically (the pure-python oracle twin in
+        # tools/gen_value_oracles.py applies the same (hash, id) key)
+    ).orderBy("__h", id_col).drop(id_col)
     train = hashed.limit(max(n_centroids, min(train_sample, n_centroids * 256)))
     rows = train.collect()
     X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])

@@ -56,16 +56,22 @@ def export_shuffled_shards(
         df, id_col=id_col, seed=seed, shard_size=shard_size,
         rank_out=rank_out, shard_out=shard_out,
     )
-    # pin the ranked frame: the shard count (an aggregate) and the write
-    # must see the same ranks without recomputing the two-level prefix sum
-    ranked = ranked.localCheckpoint(eager=True)
-    counts = (
-        ranked.groupBy(shard_out)
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .orderBy(shard_out)
-        .collect()  # metadata-sized: one row per shard
-    )
-    n_shards = len(counts)
+    # global_shuffle_rank already pinned its range assignment with an
+    # eager localCheckpoint; the rank/shard columns derive from it
+    # deterministically, so no second full materialization is needed.
+    # Ranks are dense 0..n-1, so the per-shard sizes are arithmetic:
+    # shard_size rows each except the last — one count() suffices.
+    n_rows = ranked.count()
+    n_shards = -(-n_rows // shard_size) if n_rows else 0
+    counts = [
+        {
+            shard_out: k,
+            "rows": shard_size
+            if k < n_shards - 1
+            else n_rows - (n_shards - 1) * shard_size,
+        }
+        for k in range(n_shards)
+    ]
     (
         ranked.repartition(max(n_shards, 1), F.col(shard_out))
         .sortWithinPartitions(shard_out, rank_out)

@@ -64,12 +64,22 @@ def test_low_perplexity_for_in_domain_docs(spark):
     assert out[0] < out[99]
 
 
-def test_lm_joins_are_broadcast(spark):
+def test_lm_joins_are_broadcast_when_forced(spark):
+    """broadcast_lm=True plants explicit broadcast hints on both LM
+    sides; the DEFAULT (False) must NOT, because the bigram table grows
+    with corpus token diversity — a hard-coded broadcast is an
+    executor-OOM trap at scale (round-4 advice).  AQE still picks a
+    broadcast join at runtime for small LMs; the static-plan check here
+    pins only the hint behavior."""
     docs = spark.createDataFrame(
         [(1, "a b a"), (2, "b a")], "doc_id long, text string"
     )
     plan = (
-        with_lm_perplexity(docs)
+        with_lm_perplexity(docs, broadcast_lm=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") >= 2
+    logical = with_lm_perplexity(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the only static hint in the default plan is the 1-row vocab size
+    assert logical.count("ResolvedHint") <= 1

@@ -497,7 +497,7 @@ def gen_ann_ivf_topk(k=5, n_centroids=16, n_probe=6, seed=31,
     match, sequential-fold cosine."""
     ids, vecs = _load_embeddings()
     h = {i: xxh64(f"{ids[i]}|{seed}") % (1 << 31) for i in range(len(ids))}
-    order = sorted(range(len(ids)), key=lambda i: h[i])
+    order = sorted(range(len(ids)), key=lambda i: (h[i], ids[i]))
     sample_n = max(n_centroids, min(train_sample, n_centroids * 256))
     X = np.vstack([vecs[i] for i in order[:sample_n]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -546,7 +546,7 @@ def gen_semantic_dedup(threshold=0.45, n_centroids=8, seed=31,
     member count (the dedup_groups contract)."""
     ids, vecs = _load_embeddings()
     h = {i: xxh64(f"{ids[i]}|{seed}") % (1 << 31) for i in range(len(ids))}
-    order = sorted(range(len(ids)), key=lambda i: h[i])
+    order = sorted(range(len(ids)), key=lambda i: (h[i], ids[i]))
     sample_n = max(n_centroids, min(train_sample, n_centroids * 256))
     X = np.vstack([vecs[i] for i in order[:sample_n]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
