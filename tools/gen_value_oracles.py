@@ -600,6 +600,87 @@ def gen_semantic_dedup(threshold=0.45, n_centroids=8, seed=31,
                               ("group_size", "BIGINT")])
 
 
+def _bpe_twin_merge_pass(s, p1, p2):
+    """One greedy left-to-right non-overlapping merge pass (list form —
+    deliberately NOT the engine's wrapped-string replace encoding, so
+    the two implementations are independent)."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+            out.append(p1 + p2)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _bpe_twin_train(texts, n_merges=32, min_pair_freq=2, eow="</w>"):
+    """Pure-python twin of functions/bpe.train_bpe: word-frequency
+    Counter, iterated argmax of corpus-weighted adjacent-pair counts
+    with (-count, p1, p2) tie-break, greedy merge passes."""
+    from collections import Counter
+
+    wc = Counter(
+        w for t in texts for w in (t or "").split(" ") if w and "\x1f" not in w
+    )
+    state = {w: list(w) + [eow] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = state[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (p1, p2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        merges.append((p1, p2))
+        for w in state:
+            state[w] = _bpe_twin_merge_pass(state[w], p1, p2)
+    return merges
+
+
+def _bpe_twin_encode(text, merges, eow="</w>"):
+    toks = []
+    for w in (text or "").split(" "):
+        if not w:
+            continue
+        if "\x1f" in w:
+            toks.append(w)
+            continue
+        s = list(w) + [eow]
+        for p1, p2 in merges:
+            s = _bpe_twin_merge_pass(s, p1, p2)
+        toks.extend(s)
+    return toks
+
+
+def gen_bpe_merges(ids, texts, n_merges=32) -> str:
+    merges = _bpe_twin_train(texts, n_merges)
+    rows = [
+        (str(i), _sql_str(p1), _sql_str(p2))
+        for i, (p1, p2) in enumerate(merges)
+    ]
+    return _values_sql(
+        rows, [("rank", "INT"), ("p1", "VARCHAR"), ("p2", "VARCHAR")]
+    )
+
+
+def gen_bpe_tokenize(ids, texts, n_merges=32) -> str:
+    merges = _bpe_twin_train(texts, n_merges)
+    rows = []
+    for did, s in zip(ids, texts):
+        toks = _bpe_twin_encode(s, merges)
+        rows.append((str(did), _sql_str(" ".join(toks)), str(len(toks))))
+    return _values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("tokens_str", "VARCHAR"), ("n_bpe", "INT")],
+    )
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -618,6 +699,8 @@ def main() -> None:
         "ann_ivf_topk": gen_ann_ivf_topk(),
         "semantic_dedup_embeddings": gen_semantic_dedup(),
         "fingerprint_docs": gen_fingerprint(ids, texts),
+        "bpe_merges_docs": gen_bpe_merges(ids, texts),
+        "bpe_train_tokenize_docs": gen_bpe_tokenize(ids, texts),
     }
     with open(OUT, "w") as f:
         json.dump(oracles, f, indent=1)
