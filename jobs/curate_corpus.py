@@ -190,36 +190,28 @@ def build_pipeline(spark, args):
         else:
             scored = score_with_model(feats, QUALITY_FEATURES, quality_model())
         if args.model_percentile is not None:
-            # "keep the top P fraction" gate: the cutoff is the
-            # (1-P)-quantile of the scores — ONE distributed
-            # Greenwald-Khanna pass (approxQuantile; rel. error 0.001,
-            # i.e. a ±0.1 %-of-rank boundary blur, the right trade at
-            # corpus scale where an exact global sort for a threshold
-            # would cost a full range shuffle).  The scores materialize
-            # ONCE (the file-wide exactly-once invariant): without this
-            # checkpoint the quantile action and the filter would each
-            # re-drive the model UDF — double inference cost, and a
-            # nondeterministic deployment model would hand the cutoff
-            # and the filter DIFFERENT scores.
-            scored = scored.localCheckpoint(eager=True)
-            qs = scored.approxQuantile(
-                "model_score", [1.0 - args.model_percentile], 0.001
+            # "keep the top P fraction" gate — the first-class operator
+            # (functions/inference.keep_top_fraction): one distributed
+            # Greenwald-Khanna quantile pass over scores pinned with an
+            # eager localCheckpoint so the cutoff and the filter read
+            # the SAME materialized scores (exactly-once inference);
+            # empty/all-null stages keep nothing instead of crashing.
+            from pulsarfeatureextractor_spark.functions.inference import (
+                keep_top_fraction,
             )
-            # approxQuantile returns [] on an empty/all-null stage
-            # (upstream filters can legitimately drop everything) —
-            # an empty corpus keeps nothing, it doesn't crash
-            cut = qs[0] if qs else float("inf")
+
             print(
-                f"model gate: keep-top {args.model_percentile:.4f} -> "
-                f"score cutoff {cut!r}",
+                f"model gate: keep-top {args.model_percentile:.4f}",
                 file=sys.stderr,
             )
+            kept = keep_top_fraction(
+                scored, "model_score", args.model_percentile
+            )
         else:
-            cut = args.model_threshold
-        filt = scored.where(
-            F.col("model_score") >= cut
-        ).drop("model_score", *QUALITY_FEATURES, "n_chars_text",
-               "distinct_tokens").localCheckpoint(eager=True)
+            kept = scored.where(F.col("model_score") >= args.model_threshold)
+        filt = kept.drop(
+            "model_score", *QUALITY_FEATURES, "n_chars_text",
+            "distinct_tokens").localCheckpoint(eager=True)
         n_after = filt.count()
         n_model_dropped = n_stage - n_after
         n_stage = n_after

@@ -150,10 +150,168 @@ def score_with_model(
     )
 
 
+MultiModelFn = Callable[[np.ndarray], np.ndarray]  # (n, d) -> (n, K)
+
+
+def multinomial_linear_model(
+    weights: "Iterable[Iterable[float]]", biases: "Iterable[float]"
+) -> MultiModelFn:
+    """Deterministic K-class linear scorer: row ``k`` of ``weights``
+    scores class ``k`` as ``biases[k] + sum_j w_kj * x_j``, accumulated
+    STRICTLY LEFT-TO-RIGHT in float64 (the linear_model discipline) so
+    each class score is bit-identical to its SQL rendering."""
+    W = [[float(x) for x in row] for row in weights]
+    b = [float(x) for x in biases]
+    if len(W) != len(b):
+        raise ValueError("one bias per class required")
+    d = len(W[0])
+    if any(len(row) != d for row in W):
+        raise ValueError("all weight rows must share the feature width")
+
+    def score(X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != d:
+            raise ValueError(
+                f"multinomial_linear_model: expected (n, {d}), got {X.shape}"
+            )
+        out = np.empty((X.shape[0], len(W)), dtype=np.float64)
+        for k, (row, bk) in enumerate(zip(W, b)):
+            z = np.full(X.shape[0], bk, dtype=np.float64)
+            for j, wj in enumerate(row):
+                z = z + wj * X[:, j]
+            out[:, k] = z
+        return out
+
+    return score
+
+
+def classify_with_model(
+    df: DataFrame,
+    feature_cols: "Iterable[str]",
+    model: "MultiModelFn | None",
+    labels: "Iterable[str]",
+    output_col: str = "class_pred",
+    min_score: "float | None" = None,
+    fallback: str = "und",
+) -> DataFrame:
+    """Batch multiclass inference: score every row with an injected
+    ``(n, d) -> (n, K)`` model and emit the argmax label (ties break to
+    the FIRST max — np.argmax semantics, mirrored by the first-match
+    CASE in a SQL oracle).  ``min_score`` adds an abstention class:
+    rows whose best score is below it label ``fallback``.
+
+    Same execution posture as score_with_model: ONE Arrow-batched
+    scalar pandas UDF, model called per ~10k-row block, no shuffle —
+    a pure map stage at any corpus size.  The fastText-shaped
+    language-ID deployment is exactly this call with a real model
+    injected; ``langid_model()`` below is the deterministic fixture.
+    """
+    cols = list(feature_cols)
+    labs = list(labels)
+    if model is None:
+        raise NotImplementedError(
+            "classify_with_model requires an injected model callable; "
+            "no model runtime ships in this container"
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _cls(*feats: pd.Series) -> pd.Series:
+        X = np.column_stack(
+            [s.to_numpy(dtype=np.float64, na_value=np.nan) for s in feats]
+        )
+        S = np.asarray(model(X), dtype=np.float64)
+        if S.shape != (len(X), len(labs)):
+            raise ValueError(
+                f"model returned shape {S.shape}, expected ({len(X)}, {len(labs)})"
+            )
+        ix = np.argmax(S, axis=1)  # first max on ties — deterministic
+        lab = np.array(labs, dtype=object)[ix]
+        if min_score is not None:
+            lab = np.where(S.max(axis=1) < min_score, fallback, lab)
+        return pd.Series(lab)
+
+    # evaluate-exactly-once, as in score_with_model (see that comment)
+    _cls_once = _cls.asNondeterministic()
+    return df.withColumn(output_col, _cls_once(*[F.col(c) for c in cols]))
+
+
+#: Learned-language-ID fixture: classes in sorted-STOPWORDS order, one
+#: weight row per class — 1.0 on its own stopword-hit count, and the
+#: zh row additionally 0.25 (exact binary fraction) on the CJK char
+#: count; biases -0.5 so a featureless document abstains to 'und'
+#: (min_score=0.0).  Feature order = text.langid_features names:
+#: (lh_de, lh_en, lh_es, lh_fr, lh_zh, cjk_chars).
+LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+LANGID_BIAS = -0.5
+
+
+def langid_model() -> MultiModelFn:
+    K = len(LANGID_CLASSES)
+    W = [[0.0] * (K + 1) for _ in range(K)]
+    for k in range(K):
+        W[k][k] = 1.0
+    W[LANGID_CLASSES.index("zh")][K] = 0.25  # cjk_chars column
+    return multinomial_linear_model(W, [LANGID_BIAS] * K)
+
+
+def langid_score_sql(feature_exprs: "Iterable[str]") -> "list[str]":
+    """The fixture's per-class scores as left-associative ANSI-SQL
+    expressions (oracle twins), in LANGID_CLASSES order.
+    ``feature_exprs`` follow text.langid_features order."""
+    exprs = list(feature_exprs)
+    K = len(LANGID_CLASSES)
+    out = []
+    for k in range(K):
+        z = repr(LANGID_BIAS)
+        z = f"({z} + 1.0 * CAST(({exprs[k]}) AS DOUBLE))"
+        if LANGID_CLASSES[k] == "zh":
+            z = f"({z} + 0.25 * CAST(({exprs[K]}) AS DOUBLE))"
+        out.append(z)
+    return out
+
+
 def keep_flag(score_col: str = "model_score", threshold: float = 0.0) -> Column:
     """JVM-side keep predicate on the scored column (exact float
     comparison — safe because the logit itself is deterministic)."""
     return F.col(score_col) >= F.lit(float(threshold))
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str = "model_score",
+    fraction: float = 0.5,
+    relative_error: float = 0.001,
+    pin: bool = True,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows by ``score_col`` (the
+    percentile model gate, lifted out of jobs/curate_corpus.py so
+    library users get the guarded semantics too — round-4 advice #6).
+
+    The cutoff is the (1 - fraction)-quantile from ONE distributed
+    Greenwald-Khanna pass (``approxQuantile``; ``relative_error`` is a
+    rank-boundary blur, the right trade at corpus scale where an exact
+    global threshold would cost a full range shuffle).  Ties AT the
+    cutoff are kept (``>=``), so the kept fraction can exceed
+    ``fraction`` on tied scores — quantile-boundary tie semantics are
+    pinned in tests/test_inference.py.
+
+    ``pin=True`` (default) eagerly localCheckpoints ``df`` first so the
+    quantile action and the returned filter read the SAME scores — with
+    a nondeterministic scoring stage upstream the two would otherwise
+    re-drive it and disagree; pass ``pin=False`` only when ``df`` is
+    already materialized/deterministic and the extra copy is unwanted.
+
+    An empty (or all-NULL-score) input keeps nothing and does not
+    crash: ``approxQuantile`` returns [] there and the cutoff becomes
+    +inf.  NULL scores never satisfy ``>= cut`` and are dropped.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if pin:
+        df = df.localCheckpoint(eager=True)
+    qs = df.approxQuantile(score_col, [1.0 - fraction], relative_error)
+    cut = qs[0] if qs else float("inf")
+    return df.where(F.col(score_col) >= F.lit(float(cut)))
 
 
 EmbedFn = Callable[["list[str]"], np.ndarray]

@@ -69,6 +69,22 @@ def expect_unique(col: str, exact: bool = True) -> Expectation:
     2% so the estimate sits well inside the 5% verdict tolerance —
     Spark's default rsd of 5% would make borderline false failures
     routine) and a tolerance verdict — the 100 TB gating posture.
+
+    PINNED CONTRACT (round-4 verdict #7) — the caller chooses, the
+    library never silently switches on a row estimate (an estimate
+    taken before the scan can be wildly wrong, and a gate whose
+    exactness depends on it is not a contract):
+
+    - ``exact=True`` (default) plans a real distinct on ``col``: inside
+      the shared one-pass aggregate Spark compiles COUNT(DISTINCT) to
+      an Expand + two-round aggregate, i.e. ONE extra shuffle on the
+      column.  Exactness is the point of a uniqueness GATE; at 100 TB
+      you pay one key-sized exchange for it, deliberately.
+    - ``exact=False`` stays a single partial-aggregable pass (HLL
+      sketches merge map-side; zero extra shuffles) with the 5%
+      tolerance verdict — use it for monitoring-grade checks.
+
+    Both plan shapes are pinned in tests/test_quality_checks.py.
     """
     # approx metrics get their own names: an exact and an approx rule
     # on the SAME column would otherwise collide in the shared metrics

@@ -85,6 +85,45 @@ def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, pred)
 
 
+#: CJK Unified Ideographs block — the script-ratio feature for the
+#: learned language-ID stage (fastText-style models consume character
+#: n-gram/script features; this is the scan-side analogue).
+_CJK_RE = "[^\\u4e00-\\u9fff]"
+
+
+def langid_features(df: DataFrame, text_col: str = "text") -> "tuple[DataFrame, list[str]]":
+    """Scan-side feature assembly for the learned language-ID
+    classifier (functions/inference.classify_with_model): per language
+    the stopword-hit count ``lh_<lang>`` (exact integer, same counting
+    as the with_langid heuristic) plus ``cjk_chars`` (CJK-block char
+    count — a script-ratio signal the stopword lists cannot carry).
+    All pure JVM expressions — fuses into the scan, no shuffle, and the
+    integer features make the downstream linear fixture exactly
+    SQL-oracle-able.  Returns (df + feature columns, feature names in
+    classifier order).  NULL text coalesces to '' (0-valued features,
+    so the classifier abstains rather than seeing NaN)."""
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    out = df
+    names = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        out = out.withColumn(
+            f"lh_{lang}",
+            F.size(F.filter(w, lambda t: F.array_contains(lex, t))).cast(
+                "double"
+            ),
+        )
+        names.append(f"lh_{lang}")
+    out = out.withColumn(
+        "cjk_chars",
+        F.length(
+            F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), _CJK_RE, "")
+        ).cast("double"),
+    )
+    names.append("cjk_chars")
+    return out, names
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Karp-Rabin rolling polynomial fingerprint of the token stream:
     fp = fold(tokens, 0, (acc, t) -> (acc * 1000003 + h40(t)) mod 2^40)

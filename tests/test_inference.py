@@ -256,3 +256,129 @@ def test_embed_called_batched_and_feeds_consumers(spark, sf_smoke):
         k=3,
     )
     assert topk.count() == 6  # 2 queries x top-3 over generated vectors
+
+
+def test_keep_top_fraction_basic_and_tie_semantics(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction,
+    )
+
+    # 100 distinct scores 0..99: keep-top 0.2 -> cutoff ~ the 0.8
+    # quantile; ties kept via >=, so the kept set is exactly the top
+    # scores down to (and including) the cutoff value
+    df = spark.range(100).select(F.col("id").cast("double").alias("s"))
+    kept = {r["s"] for r in keep_top_fraction(df, "s", 0.2).collect()}
+    assert min(kept) >= 79.0 and max(kept) == 99.0
+    assert len(kept) in (20, 21)  # boundary blur of one rank at most
+
+    # massive tie block AT the cutoff: every tied row is kept (>=),
+    # so the kept fraction may exceed the request - pinned semantics
+    tied = spark.createDataFrame(
+        [(float(1),)] * 90 + [(float(2),)] * 10, "s double"
+    )
+    kept_tied = keep_top_fraction(tied, "s", 0.5)
+    vals = [r["s"] for r in kept_tied.collect()]
+    assert set(vals) == {1.0, 2.0} and len(vals) == 100  # all ties kept
+
+
+def test_keep_top_fraction_empty_and_null_guard(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction,
+    )
+
+    empty = spark.createDataFrame([], "s double")
+    assert keep_top_fraction(empty, "s", 0.5).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "s double")
+    assert keep_top_fraction(nulls, "s", 0.5).count() == 0
+    # NULL scores drop even when real scores exist
+    mixed = spark.createDataFrame([(None,), (5.0,), (1.0,)], "s double")
+    got = sorted(r["s"] for r in keep_top_fraction(mixed, "s", 1.0).collect())
+    assert got == [1.0, 5.0]
+
+
+def test_keep_top_fraction_validates_fraction(spark):
+    import pytest
+
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "s double")
+    with pytest.raises(ValueError):
+        keep_top_fraction(df, "s", 1.5)
+
+
+def test_classify_with_model_langid_fixture(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        LANGID_CLASSES,
+        classify_with_model,
+        langid_model,
+    )
+    from pulsarfeatureextractor_spark.functions.text import langid_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to a in is was"),        # en stopwords
+            (2, "el la de que los una"),             # es stopwords
+            (3, "zzz qqq xxx"),                      # no hits -> und
+            (4, "的是了在 xyz"),     # zh stopwords + CJK
+            (5, None),                               # NULL text -> und
+            (6, "中文文本"),         # CJK chars ONLY (no
+                                                     # stopword hit): the
+                                                     # script feature must
+                                                     # carry zh past abstention
+        ],
+        "doc_id long, text string",
+    )
+    feats, names = langid_features(docs, "text")
+    out = classify_with_model(
+        feats, names, langid_model(), LANGID_CLASSES,
+        output_col="lang_pred", min_score=0.0, fallback="und",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
+    assert got == {1: "en", 2: "es", 3: "und", 4: "zh", 5: "und", 6: "zh"}
+
+
+def test_classify_tie_breaks_to_first_class(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        classify_with_model,
+        multinomial_linear_model,
+    )
+
+    # both classes score identically -> np.argmax first max -> 'aa'
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    m = multinomial_linear_model([[1.0, 0.0], [0.0, 1.0]], [0.0, 0.0])
+    out = classify_with_model(df, ["x", "y"], m, ["aa", "bb"])
+    assert out.first()["class_pred"] == "aa"
+
+
+def test_classify_called_batched_not_per_row(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        classify_with_model,
+    )
+
+    class MinBatchClassifier:
+        def __call__(self, X):
+            if len(X) < 2:
+                raise AssertionError("classifier called per-row")
+            return np.column_stack([X[:, 0], -X[:, 0]])
+
+    df = spark.range(200).select(
+        (F.col("id").cast("double") - F.lit(100.0)).alias("x")
+    ).coalesce(1)
+    out = classify_with_model(df, ["x"], MinBatchClassifier(), ["p", "n"])
+    assert out.where(F.col("class_pred") == "p").count() == 100  # x=0 ties->p
+    assert out.where(F.col("class_pred") == "n").count() == 100
+
+
+def test_classify_rejects_wrong_class_count(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        classify_with_model,
+        multinomial_linear_model,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    m = multinomial_linear_model([[1.0], [2.0]], [0.0, 0.0])  # K=2
+    bad = classify_with_model(df, ["x"], m, ["only_one_label"])
+    with pytest.raises(Exception, match="expected"):
+        bad.collect()

@@ -82,3 +82,30 @@ def test_single_pass_plan_shape(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_exact_unique_plan_pays_one_keyed_exchange(spark, tmp_path):
+    """PINNED CONTRACT (expect_unique docstring): exact=True plans a
+    real COUNT(DISTINCT) - an Expand + exactly ONE extra keyed exchange
+    on the column - while exact=False on the same rule set stays at
+    zero keyed exchanges.  The caller chooses; the library never
+    silently swaps exactness on a row estimate."""
+    p = str(tmp_path / "docs2")
+    spark.createDataFrame(DIRTY, SCHEMA).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def plan_for(exact):
+        out = qc.expectation_metrics(
+            df, [qc.expect_not_null("text"), qc.expect_unique("doc_id",
+                                                              exact=exact)])
+        out.collect()
+        return (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+
+    exact_plan = plan_for(True)
+    # the distinct re-keys the aggregate on the column: one (and only
+    # one) keyed exchange, grouped on doc_id in the partial rounds
+    assert exact_plan.count("Exchange hashpartitioning") == 1, exact_plan
+    assert "hashpartitioning(doc_id" in exact_plan, exact_plan
+    approx_plan = plan_for(False)
+    assert approx_plan.count("Exchange hashpartitioning") == 0, approx_plan
