@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+# second skew-fixture size, PAST the measured window/bucketed crossover
+# on this host (at 6M rows bucketed ~2x faster: 12.6 s vs 25.0 s; at 1M
+# the window plan still wins — VERDICT r04 "what's wrong #2")
+SKEW_BIG_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_BIG_ROWS", "6000000"))
 
 # headline subset of __spark_entry__.queries(): one per operator family
 HEADLINE = [
@@ -165,7 +169,7 @@ def _timed_min(builder, trials: int) -> float:
 
 
 def _bench_synthetic(spark, n_rows: int, input_dir: str,
-                     trials: int = 3) -> dict[str, float]:
+                     trials: int = 3, meta: dict | None = None) -> dict[str, float]:
     from pulsarfeatureextractor_spark.functions.moments import with_lyon_features
     from pulsarfeatureextractor_spark.functions.scores import with_thornton_scores
     from pulsarfeatureextractor_spark.operators.asof import asof_join
@@ -242,24 +246,28 @@ def _bench_synthetic(spark, n_rows: int, input_dir: str,
     # skew is handled, not just join skew.
     from pyspark.sql import functions as F
 
-    skew_left = (
-        spark.range(0, max(n_rows, 10_000), numPartitions=CPUS * 2)
-        .select(
-            F.when(F.col("id") % 2 == 0, "hot")
-            .otherwise(F.concat(F.lit("e"), F.col("id") % 5000)).alias("ent"),
-            F.timestamp_seconds(1704067200 + F.pmod(F.xxhash64("id"), F.lit(2592000))).alias("ts"),
-            F.col("id").alias("row_id"),
+    def skew_frames(n: int):
+        left = (
+            spark.range(0, max(n, 10_000), numPartitions=CPUS * 2)
+            .select(
+                F.when(F.col("id") % 2 == 0, "hot")
+                .otherwise(F.concat(F.lit("e"), F.col("id") % 5000)).alias("ent"),
+                F.timestamp_seconds(1704067200 + F.pmod(F.xxhash64("id"), F.lit(2592000))).alias("ts"),
+                F.col("id").alias("row_id"),
+            )
         )
-    )
-    skew_right = (
-        spark.range(0, max(n_rows // 2, 5_000), numPartitions=CPUS * 2)
-        .select(
-            F.when(F.col("id") % 2 == 0, "hot")
-            .otherwise(F.concat(F.lit("e"), F.col("id") % 5000)).alias("ent"),
-            F.timestamp_seconds(1704067200 + F.pmod(F.xxhash64("id", F.lit(9)), F.lit(2592000))).alias("rts"),
-            (F.col("id") % 1000).cast("double").alias("val"),
+        right = (
+            spark.range(0, max(n // 2, 5_000), numPartitions=CPUS * 2)
+            .select(
+                F.when(F.col("id") % 2 == 0, "hot")
+                .otherwise(F.concat(F.lit("e"), F.col("id") % 5000)).alias("ent"),
+                F.timestamp_seconds(1704067200 + F.pmod(F.xxhash64("id", F.lit(9)), F.lit(2592000))).alias("rts"),
+                (F.col("id") % 1000).cast("double").alias("val"),
+            )
         )
-    )
+        return left, right
+
+    skew_left, skew_right = skew_frames(n_rows)
     for strat in ("window", "bucketed"):
         out[f"skew_asof_{strat}"] = _timed_min(
             lambda s=strat: asof_join(
@@ -267,6 +275,30 @@ def _bench_synthetic(spark, n_rows: int, input_dir: str,
                 value_cols=["val"], strategy=s, bucket_seconds=6 * 3600.0,
             ),
             trials)
+    if meta is not None:
+        # VERDICT r04 "what's wrong #2" / next #4: the 1M fixture sits
+        # BELOW the window/bucketed crossover (the window plan's single
+        # hot sort task still fits one task's time there), so the bench
+        # under-sold the operator it showcases.  Record (a) what the
+        # sample-based auto picker chooses on the skewed fixture at both
+        # sizes, and (b) the two plans + auto (probe included) at a
+        # 6M-row second size, which is PAST the measured crossover —
+        # bucketed ~2x faster (12.6 s vs 25.0 s measured on this host).
+        from pulsarfeatureextractor_spark.operators.asof import (
+            choose_asof_strategy,
+        )
+
+        meta["skew_auto_pick_base"] = choose_asof_strategy(skew_left, ["ent"])
+        big_left, big_right = skew_frames(SKEW_BIG_ROWS)
+        meta["skew_auto_pick_big"] = choose_asof_strategy(big_left, ["ent"])
+        meta["skew_big_rows"] = SKEW_BIG_ROWS
+        for strat in ("window", "bucketed", "auto"):
+            out[f"skew_big_asof_{strat}"] = _timed_min(
+                lambda s=strat: asof_join(
+                    big_left, big_right, on="ts", right_on="rts", by="ent",
+                    value_cols=["val"], strategy=s, bucket_seconds=6 * 3600.0,
+                ),
+                2)  # 3 trials x 3 plans at 6M would dominate the bench
     return out
 
 
@@ -420,8 +452,10 @@ def main() -> None:
 
     probe_pre = capacity_probe(input_dir)
     load_pre = loadavg()
+    skew_meta: dict = {}
     queries = _bench_testdata(spark, SF_DIR, trials=3)
-    queries.update(_bench_synthetic(spark, args.rows, input_dir, trials=3))
+    queries.update(_bench_synthetic(spark, args.rows, input_dir, trials=3,
+                                    meta=skew_meta))
     probe_post = capacity_probe(input_dir)
     load_post = loadavg()
     # total = sum of the reported per-query times (min-of-3 trials,
@@ -445,6 +479,10 @@ def main() -> None:
         "ceiling": {"pre": probe_pre["ceiling"],
                     "post": probe_post["ceiling"]},
         "loadavg": {"pre": round(load_pre, 2), "post": round(load_post, 2)},
+        # skew crossover evidence (VERDICT r04 next #4): what the
+        # sample-based auto picker chose at each fixture size, plus the
+        # big-fixture row count the skew_big_asof_* timings ran at
+        "skew": skew_meta,
     }))
     spark.stop()
 
