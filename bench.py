@@ -462,6 +462,12 @@ def main() -> None:
     # rebuilt plans so no shuffle reuse across trials), i.e. the best
     # observed one-pass time for the whole headline set.
     total = round(sum(queries.values()), 3)
+    # the r5 skew_big_* rows run a 6x-larger fixture that exists to show
+    # the window/bucketed crossover — they are NEW work, so the r1-r4
+    # comparable total excludes them (self-interpreting artifact rule,
+    # BENCH/BASELINE.md methodology)
+    comparable = round(sum(v for k, v in queries.items()
+                           if not k.startswith("skew_big_")), 3)
     seq_rate = round(args.rows / queries["synthetic_full_pipeline"], 1)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -469,6 +475,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf_num,
+        "comparable_total_pre_r5": comparable,
         "synthetic_rows": args.rows,
         "sequences_per_sec_full_pipeline": seq_rate,
         "cpus": CPUS,
