@@ -854,6 +854,63 @@ def bpe_train_tokenize_docs(spark, sf):
     )
 
 
+_UNIGRAM_MODEL_CACHE: "dict[str, list]" = {}
+
+
+def _unigram_model_for(spark, sf):
+    """Train (or reuse this process's already-trained) unigram-LM
+    model for one sf dir (deterministic; memoized for the same reason
+    as _bpe_merges_for)."""
+    if sf not in _UNIGRAM_MODEL_CACHE:
+        from pulsarfeatureextractor_spark.functions.unigram import (
+            train_unigram,
+        )
+
+        _UNIGRAM_MODEL_CACHE[sf] = train_unigram(
+            load_table(spark, sf, "documents"),
+            vocab_size=64, max_piece_len=4, seed_max_pieces=256,
+            em_iters=2, prune_frac=0.25,
+        )
+    return _UNIGRAM_MODEL_CACHE[sf]
+
+
+def unigram_vocab_docs(spark, sf):
+    """Distributed unigram-LM (SentencePiece-style) subword-vocabulary
+    TRAINING (functions/unigram.py) — the learned (piece, logp) model
+    itself.  Hard-EM: Viterbi E-step counts are exact integers, the
+    M-step is the pinned add-one form log(c+1)-log(T+V), so the model
+    is partitioning-independent.  Oracle: committed VALUES literal from
+    the INDEPENDENT pure-python twin (tools/gen_value_oracles.
+    _uni_twin_train — memoized-recursion Viterbi, Counter counts, not
+    the engine's iterative DP / Spark aggregates); logp rounded 6dp on
+    both sides (spark_round6 convention)."""
+    from pulsarfeatureextractor_spark.functions.unigram import (
+        unigram_model_table,
+    )
+
+    m = unigram_model_table(spark, _unigram_model_for(spark, sf))
+    return m.select("piece", F.round("logp", 6).alias("logp"))
+
+
+def unigram_train_tokenize_docs(spark, sf):
+    """Train the unigram LM on the corpus, then Viterbi-encode the
+    same corpus (ONE Arrow crossing, zero shuffles) — the full
+    learn-a-vocabulary -> tokenize round trip for the second standard
+    subword learner.  Exact token-for-token equality against the
+    pure-python twin's VALUES literal."""
+    from pulsarfeatureextractor_spark.functions.unigram import (
+        unigram_encode,
+    )
+
+    d = load_table(spark, sf, "documents")
+    out = unigram_encode(d, _unigram_model_for(spark, sf))
+    return out.select(
+        "doc_id",
+        F.array_join("unigram_tokens", " ").alias("tokens_str"),
+        F.col("n_unigram"),
+    )
+
+
 def lyon_features_docs(spark, sf):
     d = load_table(spark, sf, "documents")
     seqs = documents_to_sequences(d)
@@ -2129,6 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: learned language ID (batched multiclass inference over
         # scan-side features, deterministic multinomial fixture)
         "langid_model_docs": langid_model_docs,
+        # round-5: unigram-LM (SentencePiece-style) tokenizer training —
+        # the second standard subword learner beside bpe_* (in-window);
+        # exact VALUES oracles from the independent pure-python twin
+        "unigram_vocab_docs": unigram_vocab_docs,
+        "unigram_train_tokenize_docs": unigram_train_tokenize_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)

@@ -681,6 +681,111 @@ def gen_bpe_tokenize(ids, texts, n_merges=32) -> str:
     )
 
 
+def _uni_twin_viterbi(word, logp, max_piece_len):
+    """Independent twin of functions/unigram.viterbi_segment: memoized
+    top-down recursion (deliberately NOT the engine's iterative DP),
+    same pinned contract — increasing-i scan, strict >, longest piece
+    wins float ties, single-char UNK fallback at -1e9."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def best(j):
+        if j == 0:
+            return (0.0, None)
+        b, bi = None, None
+        for i in range(max(0, j - max_piece_len), j):
+            prev = best(i)[0]
+            lp = logp.get(word[i:j])
+            if lp is None:
+                continue
+            s = prev + lp
+            if b is None or s > b:
+                b, bi = s, i
+        if b is None:
+            b, bi = best(j - 1)[0] + (-1e9), j - 1
+        return (b, bi)
+
+    pieces, j = [], len(word)
+    while j > 0:
+        i = best(j)[1]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces
+
+
+def _uni_twin_train(texts, vocab_size=64, max_piece_len=4,
+                    seed_max_pieces=256, em_iters=2, prune_frac=0.25):
+    """Pure-python twin of functions/unigram.train_unigram: Counter
+    word/substring counts, hard-EM Viterbi counts, add-one M-step
+    logp = log(c+1) - log(T+V), prune (count asc, piece asc), final
+    cut (count desc, piece asc), chars never pruned."""
+    import math
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in (t or "").split(" ") if w)
+    sub = Counter()
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub[w[i:i + l]] += f
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    n_multi = max(seed_max_pieces - len(chars), 0)
+    multi = dict(sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]))[:n_multi])
+    counts = {**chars, **multi}
+
+    def mstep(cnt):
+        denom = math.log(sum(cnt.values()) + len(cnt))
+        return {p: math.log(c + 1) - denom for p, c in cnt.items()}
+
+    logp = mstep(counts)
+    min_multi = max(vocab_size - len(chars), 0)
+    for it in range(em_iters):
+        counts = Counter()
+        for w, f in wc.items():
+            for p in _uni_twin_viterbi(w, logp, max_piece_len):
+                counts[p] += f
+        counts = dict(counts)
+        for c in chars:
+            counts.setdefault(c, 0)
+        multi_items = [(p, c) for p, c in counts.items() if len(p) >= 2]
+        if it + 1 < em_iters:
+            n_drop = min(int(len(multi_items) * prune_frac),
+                         max(len(multi_items) - min_multi, 0))
+            for p, _ in sorted(multi_items, key=lambda t: (t[1], t[0]))[:n_drop]:
+                del counts[p]
+        else:
+            keep = sorted(multi_items, key=lambda t: (-t[1], t[0]))[:min_multi]
+            counts = {**{c: counts[c] for c in chars}, **dict(keep)}
+        logp = mstep(counts)
+    return sorted(logp.items())
+
+
+def gen_unigram_vocab(ids, texts) -> str:
+    model = _uni_twin_train(texts)
+    rows = [(_sql_str(p), repr(spark_round6(lp))) for p, lp in model]
+    return _values_sql(rows, [("piece", "VARCHAR"), ("logp", "DOUBLE")])
+
+
+def gen_unigram_tokenize(ids, texts) -> str:
+    model = _uni_twin_train(texts)
+    logp = dict(model)
+    rows = []
+    for did, t in zip(ids, texts):
+        toks = []
+        for w in (t or "").split(" "):
+            if w:
+                toks.extend(_uni_twin_viterbi(w, logp, 4))
+        rows.append((str(did), _sql_str(" ".join(toks)), str(len(toks))))
+    return _values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("tokens_str", "VARCHAR"),
+         ("n_unigram", "INT")],
+    )
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -701,6 +806,8 @@ def main() -> None:
         "fingerprint_docs": gen_fingerprint(ids, texts),
         "bpe_merges_docs": gen_bpe_merges(ids, texts),
         "bpe_train_tokenize_docs": gen_bpe_tokenize(ids, texts),
+        "unigram_vocab_docs": gen_unigram_vocab(ids, texts),
+        "unigram_train_tokenize_docs": gen_unigram_tokenize(ids, texts),
     }
     with open(OUT, "w") as f:
         json.dump(oracles, f, indent=1)
