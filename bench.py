@@ -66,8 +66,13 @@ HEADLINE = [
     "boilerplate_removal_docs",    # C4-style corpus boilerplate removal
     "lm_perplexity_docs",          # CCNet-style bigram-LM perplexity
     "quality_regression_docs",     # in-engine model training (suff-stats fit)
+    "unigram_train_tokenize_docs",  # unigram-LM tokenizer train + encode (r5)
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
+
+# queries first tracked in round 5 — excluded from the r1-r4
+# comparable total (same self-interpreting-artifact rule as skew_big_*)
+R5_NEW = {"unigram_train_tokenize_docs"}
 
 
 def _force(df) -> int:
@@ -93,6 +98,11 @@ def _bench_testdata(spark, sf_dir: str, trials: int = 2) -> dict[str, float]:
         fn = qs[name]
         best = None
         for _ in range(max(trials, 1)):
+            if name == "unigram_train_tokenize_docs":
+                # the entry memoizes the trained model per sf (driver
+                # contract: vocab + tokenize queries share one model);
+                # clear it so every trial times the FULL train + encode
+                entrymod._UNIGRAM_MODEL_CACHE.clear()
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
@@ -467,7 +477,8 @@ def main() -> None:
     # comparable total excludes them (self-interpreting artifact rule,
     # BENCH/BASELINE.md methodology)
     comparable = round(sum(v for k, v in queries.items()
-                           if not k.startswith("skew_big_")), 3)
+                           if not k.startswith("skew_big_")
+                           and k not in R5_NEW), 3)
     seq_rate = round(args.rows / queries["synthetic_full_pipeline"], 1)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
