@@ -2016,6 +2016,66 @@ def boilerplate_removal_docs(spark, sf):
     )
 
 
+def dsir_weights_docs(spark, sf):
+    """DSIR importance weights (functions/dsir.py, Xie et al. 2023):
+    target = the corpus's English slice, raw = the full corpus; every
+    raw doc scored by its hashed-n-gram (uni+bi, portable md5 4096
+    buckets — splits.py's cross-engine expression) log-likelihood
+    ratio under add-one-smoothed target vs raw multinomials.  Float
+    discipline: per-bucket log-ratios rounded 9dp and cast
+    DECIMAL(20,9) BEFORE the per-doc sum (lm.py's exactly-associative
+    trick), so the single corpus-scale shuffle carries exact partial
+    sums; final cast to double rounds 6dp.  Oracle: full DuckDB SQL —
+    no committed literal."""
+    from pulsarfeatureextractor_spark.functions.dsir import (
+        dsir_log_ratios,
+        with_dsir_logweight,
+    )
+
+    d = load_table(spark, sf, "documents")
+    lr = dsir_log_ratios(d.where(F.col("lang") == "en"), d)
+    return with_dsir_logweight(d, lr).select(
+        "doc_id", "n_grams", "dsir_logw"
+    )
+
+
+def dsir_select_docs(spark, sf):
+    """DSIR Gumbel top-k resampling (functions/dsir.dsir_select): the
+    weighted docs from dsir_weights_docs, perturbed by a deterministic
+    per-doc Gumbel draw (portable md5 bucket -> strictly-interior
+    uniform -> -ln(-ln u)) and cut to the top 25 % per source stratum
+    by (key desc, doc_id).  The window partitions on the stratum, so
+    parallelism tracks stratum count; returns only the selected rows.
+    Oracle: full DuckDB SQL."""
+    from pulsarfeatureextractor_spark.functions.dsir import (
+        dsir_log_ratios,
+        dsir_select,
+        with_dsir_logweight,
+    )
+
+    d = load_table(spark, sf, "documents")
+    lr = dsir_log_ratios(d.where(F.col("lang") == "en"), d)
+    w = with_dsir_logweight(d, lr)
+    return dsir_select(w, frac=0.25).select("doc_id", "source", "sel_key")
+
+
+def repeated_spans_docs(spark, sf):
+    """Repeated n-gram span coverage (operators/spans.py — the
+    distributable predicate of Lee et al. 2021 exact-substring dedup):
+    per doc, how many 3-gram start positions repeat ≥ 2× corpus-wide
+    (intra-doc repeats count, as in the suffix-array formulation) and
+    how many distinct token indices those grams cover.  Two keyed
+    shuffles + one LEFT SEMI join (never row-multiplying); coverage
+    expansion is scan-side array math.  Oracle: full DuckDB SQL."""
+    from pulsarfeatureextractor_spark.operators.spans import (
+        repeated_ngram_coverage,
+    )
+
+    return repeated_ngram_coverage(
+        load_table(spark, sf, "documents"), n=3, min_count=2
+    )
+
+
 def lm_perplexity_docs(spark, sf):
     """CCNet-style bigram-LM perplexity scoring (functions/lm.py):
     add-1-smoothed bigram LM trained on the corpus itself, every doc
@@ -2191,6 +2251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact VALUES oracles from the independent pure-python twin
         "unigram_vocab_docs": unigram_vocab_docs,
         "unigram_train_tokenize_docs": unigram_train_tokenize_docs,
+        # round-5: DSIR data selection (hashed-n-gram importance weights +
+        # deterministic Gumbel top-k) and Lee-et-al repeated-span coverage —
+        # both with FULL SQL oracles (portable md5 bucket + exact-decimal
+        # sums; no committed literals)
+        "dsir_weights_docs": dsir_weights_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "repeated_spans_docs": repeated_spans_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -3715,6 +3782,98 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(k.clean_text, '') AS clean_text,
                CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept
         FROM documents d LEFT JOIN kept k USING (doc_id)
+    """
+    from pulsarfeatureextractor_spark.functions.splits import (
+        _md5_bucket_expr as _mdb,
+    )
+
+    _DSIR_WEIGHTS_CTE = f"""
+        WITH ws AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(ws) AS gram FROM ws
+          UNION ALL
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+          FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+          WHERE len(ws) >= 2
+        ), buck AS (
+          SELECT doc_id, {_mdb("gram", "dsir")} AS bucket FROM grams
+        ), tbuck AS (
+          SELECT b.* FROM buck b JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en'
+        ), ct AS (
+          SELECT bucket, COUNT(*) AS ct FROM tbuck GROUP BY 1
+        ), cr AS (
+          SELECT bucket, COUNT(*) AS cr FROM buck GROUP BY 1
+        ), tt AS (SELECT COUNT(*) AS tt FROM tbuck),
+        tr AS (SELECT COUNT(*) AS tr FROM buck),
+        lr AS (
+          SELECT cr.bucket,
+                 CAST(ROUND(
+                   ln((COALESCE(ct.ct, 0) + 1) / CAST(tt.tt + 4096 AS DOUBLE))
+                   - ln((cr.cr + 1) / CAST(tr.tr + 4096 AS DOUBLE)), 9)
+                 AS DECIMAL(20,9)) AS lr
+          FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr
+        ), agg AS (
+          SELECT b.doc_id, COUNT(*) AS n, SUM(l.lr) AS s
+          FROM buck b JOIN lr l USING (bucket) GROUP BY 1
+        ), wdoc AS (
+          SELECT d.doc_id, d.source,
+                 CAST(COALESCE(a.n, 0) AS INT) AS n_grams,
+                 ROUND(CAST(a.s AS DOUBLE), 6) AS dsir_logw
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+        )
+    """
+    out["dsir_weights_docs"] = (
+        _DSIR_WEIGHTS_CTE + "SELECT doc_id, n_grams, dsir_logw FROM wdoc"
+    )
+    out["dsir_select_docs"] = _DSIR_WEIGHTS_CTE + f"""
+        , keyed AS (
+          SELECT doc_id, source,
+                 ROUND(dsir_logw +
+                       -ln(-ln(({_mdb("doc_id", "dsir-gumbel")} + 0.5)
+                               / 4096.0)), 6) AS sel_key
+          FROM wdoc
+        ), ranked AS (
+          SELECT doc_id, source, sel_key,
+                 rank() OVER (PARTITION BY source
+                              ORDER BY sel_key DESC NULLS LAST, doc_id) AS rk,
+                 GREATEST(1, FLOOR(0.25 * COUNT(*) OVER (PARTITION BY source)))
+                   AS k
+          FROM keyed
+        )
+        SELECT doc_id, source, sel_key FROM ranked WHERE rk <= k
+    """
+    out["repeated_spans_docs"] = """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, i AS pos, array_to_string(ws[i:i+2], ' ') AS gram
+          FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+          WHERE len(ws) >= 3
+        ), dup AS (
+          SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2
+        ), hit AS (
+          SELECT * FROM pos WHERE gram IN (SELECT gram FROM dup)
+        ), cov AS (
+          SELECT doc_id, COUNT(DISTINCT pos) AS n_dup_grams,
+                 COUNT(DISTINCT idx) AS dup_tokens
+          FROM hit, LATERAL (SELECT unnest(generate_series(pos, pos + 2)) AS idx) u
+          GROUP BY 1
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS INT) AS n_tokens,
+               CAST(COALESCE(c.n_dup_grams, 0) AS INT) AS n_dup_grams,
+               CAST(COALESCE(c.dup_tokens, 0) AS INT) AS dup_tokens,
+               ROUND(COALESCE(c.dup_tokens, 0)
+                     / GREATEST(len(w.ws), 1), 6) AS dup_fraction
+        FROM ws w LEFT JOIN cov c USING (doc_id)
     """
     out["lm_perplexity_docs"] = """
         WITH ws AS (
