@@ -2076,6 +2076,21 @@ def repeated_spans_docs(spark, sf):
     )
 
 
+def gopher_rules_docs(spark, sf):
+    """Gopher quality rules (functions/text.gopher_rules, Rae et al.
+    2021 A1.1 word-level subset): word count in [50, 100k], mean word
+    length in [3, 10], ≥ 80 % alphabetic words, '#'/'...' symbol
+    ratio ≤ 0.1, ≥ 2 distinct Gopher stopwords.  All counts exact
+    integers, each ratio one final division rounded 6dp, keep =
+    conjunction — scan-fused, zero shuffles.  Full SQL oracle."""
+    from pulsarfeatureextractor_spark.functions.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf, "documents")).select(
+        "doc_id", "n_words", "mean_word_len_g", "alpha_frac",
+        "symbol_ratio", "stop_hits", "gopher_keep",
+    )
+
+
 def lm_perplexity_docs(spark, sf):
     """CCNet-style bigram-LM perplexity scoring (functions/lm.py):
     add-1-smoothed bigram LM trained on the corpus itself, every doc
@@ -2258,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_select_docs": dsir_select_docs,
         "repeated_spans_docs": repeated_spans_docs,
+        "gopher_rules_docs": gopher_rules_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -3846,6 +3862,42 @@ def oracle_sql() -> dict[str, str]:
           FROM keyed
         )
         SELECT doc_id, source, sel_key FROM ranked WHERE rk <= k
+    """
+    out["gopher_rules_docs"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             x -> x <> '') AS ws,
+                 COALESCE(text, '') AS t
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(ws) AS n,
+                 CASE WHEN len(ws) > 0 THEN
+                   ROUND(CAST(list_sum(list_transform(ws, x -> len(x)))
+                              AS DOUBLE) / len(ws), 6) END AS ml,
+                 CASE WHEN len(ws) > 0 THEN
+                   ROUND(CAST(len(list_filter(ws,
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+                              AS DOUBLE) / len(ws), 6) END AS af,
+                 CASE WHEN len(ws) > 0 THEN
+                   ROUND(CAST(CAST(len(t) - len(replace(t, '#', ''))
+                              + (len(t) - len(replace(t, '...', ''))) / 3
+                              AS INT) AS DOUBLE) / len(ws), 6) END AS sr,
+                 len(list_intersect(ws, ['the','be','to','of','and',
+                                         'that','have','with'])) AS sh
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(n AS INT) AS n_words,
+               ml AS mean_word_len_g,
+               af AS alpha_frac,
+               sr AS symbol_ratio,
+               CAST(sh AS INT) AS stop_hits,
+               COALESCE(n BETWEEN 50 AND 100000
+                        AND ml BETWEEN 3.0 AND 10.0
+                        AND af >= 0.8 AND sr <= 0.1 AND sh >= 2,
+                        FALSE) AS gopher_keep
+        FROM m
     """
     out["repeated_spans_docs"] = """
         WITH ws AS (

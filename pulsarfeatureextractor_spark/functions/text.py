@@ -368,3 +368,72 @@ def remove_boilerplate(
         F.array_join(clean, " ").alias(out_col),
         F.size(clean).alias(kept_out),
     )
+
+
+# Gopher quality rules (Rae et al. 2021, appendix A1.1 "MassiveWeb
+# filtering") — the published rule set, word-level subset (the
+# line-based rules need newline-structured text): word count within
+# [min_words, max_words], mean word length within [3, 10], ≥ 80 % of
+# words contain an alphabetic character, symbol-to-word ratio ('#'
+# and '...') ≤ 0.1, and ≥ 2 DISTINCT words from the paper's stopword
+# list.  Every rule is a scan-fused JVM expression (counts are exact
+# integers; each ratio is one final division) so the whole filter is
+# free at 100 TB — no shuffle, no UDF — and the DuckDB oracle
+# reproduces it with the same arithmetic.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+    keep_out: str = "gopher_keep",
+) -> DataFrame:
+    """Input columns + per-rule metrics + ``keep_out`` (True iff every
+    rule passes).  Ratios round to 6 decimals; empty/NULL text fails
+    the word-count rule (n_words 0) and reports NULL ratios."""
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
+    n = F.size(ws)
+    sum_len = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(n > 0, F.round(sum_len.cast("double") / n, 6))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n > 0, F.round(n_alpha.cast("double") / n, 6))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("int")
+    symbol_ratio = F.when(n > 0, F.round(n_symbols.cast("double") / n, 6))
+    stop_hits = F.size(
+        F.array_intersect(
+            ws, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    keep = (
+        n.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_frac >= F.lit(min_alpha_frac))
+        & (symbol_ratio <= F.lit(max_symbol_ratio))
+        & (stop_hits >= F.lit(min_stop_hits))
+    )
+    return df.select(
+        "*",
+        n.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len_g"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias(keep_out),
+    )
