@@ -2091,6 +2091,41 @@ def gopher_rules_docs(spark, sf):
     )
 
 
+def curation_v2_docs(spark, sf):
+    """Round-5 curation flagship: the three new published stages
+    composed end-to-end — Gopher rules (fixture-adapted
+    min_stop_hits=1: the synthetic vocabulary contains only 'the'
+    from the Gopher stopword list) AND repeated-3-gram coverage
+    ≤ 0.9 (the synthetic small-vocab corpus repeats heavily; the
+    gate still splits it) as the survivor filter, then DSIR scoring
+    of the survivors under full-corpus target/raw multinomials and
+    Gumbel top-50 % per source.  One chained DuckDB oracle reproduces
+    the whole pipeline — every intermediate is exact-integer or
+    exact-decimal, so the composition differentials end-to-end."""
+    from pulsarfeatureextractor_spark.functions.dsir import (
+        dsir_log_ratios,
+        dsir_select,
+        with_dsir_logweight,
+    )
+    from pulsarfeatureextractor_spark.functions.text import gopher_rules
+    from pulsarfeatureextractor_spark.operators.spans import (
+        repeated_ngram_coverage,
+    )
+
+    d = load_table(spark, sf, "documents")
+    g = gopher_rules(d, min_stop_hits=1)
+    cov = repeated_ngram_coverage(d, n=3).select("doc_id", "dup_fraction")
+    surv = g.join(cov, ["doc_id"]).where(
+        F.col("gopher_keep") & (F.col("dup_fraction") <= 0.9)
+    )
+    lr = dsir_log_ratios(d.where(F.col("lang") == "en"), d)
+    w = with_dsir_logweight(surv, lr)
+    return dsir_select(w, frac=0.5).select(
+        "doc_id", "source", "n_words", "dup_fraction", "dsir_logw",
+        "sel_key",
+    )
+
+
 def lm_perplexity_docs(spark, sf):
     """CCNet-style bigram-LM perplexity scoring (functions/lm.py):
     add-1-smoothed bigram LM trained on the corpus itself, every doc
@@ -2274,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "repeated_spans_docs": repeated_spans_docs,
         "gopher_rules_docs": gopher_rules_docs,
+        "curation_v2_docs": curation_v2_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -3862,6 +3898,71 @@ def oracle_sql() -> dict[str, str]:
           FROM keyed
         )
         SELECT doc_id, source, sel_key FROM ranked WHERE rk <= k
+    """
+    out["curation_v2_docs"] = _DSIR_WEIGHTS_CTE + f"""
+        , gop AS (
+          SELECT w.doc_id, len(w.ws) AS n_words,
+                 CASE WHEN len(w.ws) > 0 THEN
+                   ROUND(CAST(list_sum(list_transform(w.ws, x -> len(x)))
+                              AS DOUBLE) / len(w.ws), 6) END AS ml,
+                 CASE WHEN len(w.ws) > 0 THEN
+                   ROUND(CAST(len(list_filter(w.ws,
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+                              AS DOUBLE) / len(w.ws), 6) END AS af,
+                 CASE WHEN len(w.ws) > 0 THEN
+                   ROUND(CAST(CAST(len(d2.t2) - len(replace(d2.t2, '#', ''))
+                              + (len(d2.t2) - len(replace(d2.t2, '...', '')))
+                                / 3 AS INT) AS DOUBLE) / len(w.ws), 6)
+                 END AS sr,
+                 len(list_intersect(w.ws, ['the','be','to','of','and',
+                                           'that','have','with'])) AS sh
+          FROM ws w
+          JOIN (SELECT doc_id, COALESCE(text, '') AS t2 FROM documents) d2
+            USING (doc_id)
+        ), pos3 AS (
+          SELECT doc_id, i AS pos, array_to_string(ws[i:i+2], ' ') AS gram3
+          FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+          WHERE len(ws) >= 3
+        ), dup3 AS (
+          SELECT gram3 FROM pos3 GROUP BY gram3 HAVING COUNT(*) >= 2
+        ), hit3 AS (
+          SELECT * FROM pos3 WHERE gram3 IN (SELECT gram3 FROM dup3)
+        ), cov3 AS (
+          SELECT doc_id, COUNT(DISTINCT idx) AS dup_tokens
+          FROM hit3, LATERAL (SELECT unnest(generate_series(pos, pos + 2)) AS idx) u
+          GROUP BY 1
+        ), spanf AS (
+          SELECT w.doc_id,
+                 ROUND(COALESCE(c.dup_tokens, 0)
+                       / GREATEST(len(w.ws), 1), 6) AS dup_fraction
+          FROM ws w LEFT JOIN cov3 c USING (doc_id)
+        ), surv AS (
+          SELECT wd.doc_id, wd.source, g.n_words, s.dup_fraction,
+                 wd.dsir_logw
+          FROM wdoc wd
+          JOIN gop g USING (doc_id)
+          JOIN spanf s USING (doc_id)
+          WHERE COALESCE(g.n_words BETWEEN 50 AND 100000
+                         AND g.ml BETWEEN 3.0 AND 10.0
+                         AND g.af >= 0.8 AND g.sr <= 0.1 AND g.sh >= 1,
+                         FALSE)
+            AND s.dup_fraction <= 0.9
+        ), keyed2 AS (
+          SELECT *, ROUND(dsir_logw +
+                          -ln(-ln(({_mdb("doc_id", "dsir-gumbel")} + 0.5)
+                                  / 4096.0)), 6) AS sel_key
+          FROM surv
+        ), ranked2 AS (
+          SELECT *, rank() OVER (PARTITION BY source
+                                 ORDER BY sel_key DESC NULLS LAST, doc_id)
+                      AS rk,
+                 GREATEST(1, FLOOR(0.5 * COUNT(*) OVER (PARTITION BY source)))
+                   AS k
+          FROM keyed2
+        )
+        SELECT doc_id, source, CAST(n_words AS INT) AS n_words,
+               dup_fraction, dsir_logw, sel_key
+        FROM ranked2 WHERE rk <= k
     """
     out["gopher_rules_docs"] = """
         WITH w AS (
