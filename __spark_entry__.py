@@ -2181,17 +2181,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (near-dup pair class stays via minhash_lsh + simhash pairs) and
     lyon8_two_curve (U1 union stays via training_set_assembly_docs;
     Lyon stays via lyon_features_docs + lyon_pandas_udf_docs).  All
-    four displaced rows remain oracle-checked in the tail."""
+    four displaced rows remain oracle-checked in the tail.
+
+    Round-5b re-seat (late round 5): the nine round-5 stages —
+    zorder_prune_events, langid_model_docs, unigram_vocab /
+    unigram_train_tokenize, dsir_weights / dsir_select,
+    repeated_spans, gopher_rules, curation_v2 — take the seats of
+    nine family-redundant rows (see the tail-boundary comment for the
+    family-coverage argument per displaced row).  All nine displaced
+    rows remain oracle-checked in the tail."""
     return {
         # ---- driver check window (50 entries, all oracle-gated) ----
         "pipeline_pointintime_features": pipeline_pointintime_features,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
-        "segment_customers_with_orders": segment_customers_with_orders,
         "rollup_lineitem_status": rollup_lineitem_status,
         "topk_orders_per_segment": topk_orders_per_segment,
         "training_set_assembly_docs": training_set_assembly_docs,
-        "merge_upsert_docs": merge_upsert_docs,
         "grouped_moments_event_k": grouped_moments_event_k,
         "salted_join_quantity": salted_join_quantity,
         "asof_purchase_before_view": asof_purchase_before_view,
@@ -2205,24 +2211,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_scan_docs": snapshot_scan_docs,
         "partitioned_sink_resume_docs": partitioned_sink_resume_docs,
         "range_partition_sorted_events": range_partition_sorted_events,
-        "lyon_pandas_udf_docs": lyon_pandas_udf_docs,
         "streaming_tumbling_counts_events": streaming_tumbling_counts_events,
         "streaming_stateful_asof_events": streaming_stateful_asof_events,
-        "vocab_tokenize_docs": vocab_tokenize_docs,
         "dedup_groups_docs": dedup_groups_docs,
-        "split_assign_docs": split_assign_docs,
         "dedup_exact_docs": dedup_exact_docs,
-        "doc_quality_metrics": doc_quality_metrics,
-        "langid_docs": langid_docs,
         "lyon_features_docs": lyon_features_docs,
         "pipeline_curation_docs": pipeline_curation_docs,
         "label_attach_docs": label_attach_docs,
         "thornton_scores_docs": thornton_scores_docs,
         "subband_scores_docs": subband_scores_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-        "simhash_pairs_docs": simhash_pairs_docs,
         "ann_cosine_topk": ann_cosine_topk,
-        "fingerprint_docs": fingerprint_docs,
         "model_score_docs": model_score_docs,
         "quality_regression_docs": quality_regression_docs,
         "embedding_generation_docs": embedding_generation_docs,
@@ -2234,7 +2233,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        # round-5b re-seat: the nine round-5 stages take the last nine
+        # window seats (see docstring) — z-order prune gate, learned
+        # language ID, unigram-LM tokenizer training (x2), DSIR data
+        # selection (x2), repeated-span coverage, Gopher rules, and the
+        # curation_v2 composition flagship.
+        "zorder_prune_events": zorder_prune_events,
+        "langid_model_docs": langid_model_docs,
+        "unigram_vocab_docs": unigram_vocab_docs,
+        "unigram_train_tokenize_docs": unigram_train_tokenize_docs,
+        "dsir_weights_docs": dsir_weights_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "repeated_spans_docs": repeated_spans_docs,
+        "gopher_rules_docs": gopher_rules_docs,
+        "curation_v2_docs": curation_v2_docs,
         # ---- tail: pytest-gated extras beyond the driver window ----
+        # round-5b re-seat: displaced by the nine round-5 stages above;
+        # every operator family keeps an in-window representative
+        # (semi -> anti join dedup_exact_docs; MERGE -> snapshot_scan +
+        # partitioned_sink; V1 scalar pandas UDF -> model_score_docs;
+        # apply-vocab tokenize -> bpe/unigram train+tokenize; hash
+        # split -> pipeline_curation_docs' chained split; quality
+        # metrics -> gopher_rules_docs; heuristic langid ->
+        # langid_model_docs; near-dup pairs -> minhash_lsh_pairs_docs;
+        # content hashing -> repeated_spans/fingerprint tail).  All
+        # nine remain oracle-checked here (bit-exact in driver_sim):
+        "segment_customers_with_orders": segment_customers_with_orders,
+        "merge_upsert_docs": merge_upsert_docs,
+        "lyon_pandas_udf_docs": lyon_pandas_udf_docs,
+        "vocab_tokenize_docs": vocab_tokenize_docs,
+        "split_assign_docs": split_assign_docs,
+        "doc_quality_metrics": doc_quality_metrics,
+        "langid_docs": langid_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "fingerprint_docs": fingerprint_docs,
         # round-4 re-seat #2: the six round-4 first-class pipeline
         # operators above (data-contract expectations, corpus mixing,
         # shard-export sink, boilerplate removal, LM perplexity,
@@ -2289,27 +2321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": json_props_stats,
         "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,
-        # round-5: the z-order layout's differential gate (pruned scan
-        # == full scan under a 2-column box, with the skipping win
-        # itself pinned by the files_skipped_floor column)
-        "zorder_prune_events": zorder_prune_events,
-        # round-5: learned language ID (batched multiclass inference over
-        # scan-side features, deterministic multinomial fixture)
-        "langid_model_docs": langid_model_docs,
-        # round-5: unigram-LM (SentencePiece-style) tokenizer training —
-        # the second standard subword learner beside bpe_* (in-window);
-        # exact VALUES oracles from the independent pure-python twin
-        "unigram_vocab_docs": unigram_vocab_docs,
-        "unigram_train_tokenize_docs": unigram_train_tokenize_docs,
-        # round-5: DSIR data selection (hashed-n-gram importance weights +
-        # deterministic Gumbel top-k) and Lee-et-al repeated-span coverage —
-        # both with FULL SQL oracles (portable md5 bucket + exact-decimal
-        # sums; no committed literals)
-        "dsir_weights_docs": dsir_weights_docs,
-        "dsir_select_docs": dsir_select_docs,
-        "repeated_spans_docs": repeated_spans_docs,
-        "gopher_rules_docs": gopher_rules_docs,
-        "curation_v2_docs": curation_v2_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
