@@ -854,6 +854,61 @@ def bpe_train_tokenize_docs(spark, sf):
     )
 
 
+_WORDPIECE_CACHE: "dict[str, tuple]" = {}
+
+
+def _wordpiece_for(spark, sf):
+    """Train (or reuse this process's already-trained) WordPiece model
+    for one sf dir (deterministic; memoized like _bpe_merges_for)."""
+    if sf not in _WORDPIECE_CACHE:
+        from pulsarfeatureextractor_spark.functions.wordpiece import (
+            train_wordpiece,
+        )
+
+        _WORDPIECE_CACHE[sf] = train_wordpiece(
+            load_table(spark, sf, "documents"), n_merges=24
+        )
+    return _WORDPIECE_CACHE[sf]
+
+
+def wordpiece_merges_docs(spark, sf):
+    """Distributed WordPiece tokenizer TRAINING
+    (functions/wordpiece.py) — the learned likelihood-scored merge
+    list (rank, p1, p2, score), the third standard subword learner
+    beside bpe_* and unigram_*.  Score = cnt / (c1 * c2) as one double
+    division over exact integer counts, argmax by (score desc, p1,
+    p2) — partitioning-independent.  Oracle: committed VALUES literal
+    from the INDEPENDENT pure-python twin
+    (tools/gen_value_oracles._wp_twin_train — Counter counts,
+    list-form merge pass); score rounded 6dp both sides."""
+    merges, _vocab = _wordpiece_for(spark, sf)
+    m = spark.createDataFrame(
+        [(i, p1, p2, sc) for i, (p1, p2, sc) in enumerate(merges)],
+        "rank int, p1 string, p2 string, score double",
+    )
+    return m.select("rank", "p1", "p2", F.round("score", 6).alias("score"))
+
+
+def wordpiece_train_tokenize_docs(spark, sf):
+    """Train WordPiece on the corpus, then greedy-longest-match encode
+    the same corpus against the learned vocabulary (ONE Arrow
+    crossing, zero shuffles) — published WordPiece inference
+    semantics.  Exact token-for-token equality against the
+    independent descending-scan twin's VALUES literal."""
+    from pulsarfeatureextractor_spark.functions.wordpiece import (
+        wordpiece_encode,
+    )
+
+    _merges, vocab = _wordpiece_for(spark, sf)
+    d = load_table(spark, sf, "documents")
+    out = wordpiece_encode(d, vocab)
+    return out.select(
+        "doc_id",
+        F.array_join("wp_tokens", " ").alias("tokens_str"),
+        F.col("n_wp"),
+    )
+
+
 _UNIGRAM_MODEL_CACHE: "dict[str, list]" = {}
 
 
@@ -2321,6 +2376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": json_props_stats,
         "incremental_backfill_docs": incremental_backfill_docs,
         "contamination_check_docs": contamination_check_docs,
+        # round-5: WordPiece — the THIRD standard subword learner
+        # (likelihood-scored merges + greedy longest-match encode),
+        # exact VALUES oracles from the independent pure-python twin
+        "wordpiece_merges_docs": wordpiece_merges_docs,
+        "wordpiece_train_tokenize_docs": wordpiece_train_tokenize_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)

@@ -681,6 +681,91 @@ def gen_bpe_tokenize(ids, texts, n_merges=32) -> str:
     )
 
 
+def _wp_twin_train(texts, n_merges=24, min_pair_freq=2, eow="</w>"):
+    """Pure-python twin of functions/wordpiece.train_wordpiece:
+    Counter word/symbol/pair counts, likelihood score
+    cnt / (float(c1) * float(c2)), argmax by (-score, p1, p2),
+    greedy merge passes (the independent list-form _bpe_twin pass)."""
+    from collections import Counter
+
+    wc = Counter(
+        w for t in texts for w in (t or "").split(" ")
+        if w and "\x1f" not in w
+    )
+    state = {w: list(w) + [eow] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc, sc = Counter(), Counter()
+        for w, c in wc.items():
+            s = state[w]
+            for sym in s:
+                sc[sym] += c
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        cand = [(p, c) for p, c in pc.items() if c >= min_pair_freq]
+        if not cand:
+            break
+        scored = [
+            (c / (float(sc[p[0]]) * float(sc[p[1]])), p) for p, c in cand
+        ]
+        score, (p1, p2) = min(scored, key=lambda t: (-t[0], t[1]))
+        merges.append((p1, p2, score))
+        for w in state:
+            state[w] = _bpe_twin_merge_pass(state[w], p1, p2)
+    vocab = sorted({sym for s in state.values() for sym in s})
+    return merges, vocab
+
+
+def _wp_twin_encode(text, vocab, eow="</w>"):
+    """Greedy longest-match twin (descending-length first-hit scan —
+    deliberately NOT the engine's ascending keep-last scan)."""
+    out = []
+    for w in (text or "").split(" "):
+        if not w:
+            continue
+        if "\x1f" in w:
+            out.append(w)
+            continue
+        atoms = list(w) + [eow]
+        i = 0
+        while i < len(atoms):
+            piece, nxt = atoms[i], i + 1
+            for j in range(len(atoms), i + 1, -1):
+                cand = "".join(atoms[i:j])
+                if cand in vocab:
+                    piece, nxt = cand, j
+                    break
+            out.append(piece)
+            i = nxt
+    return out
+
+
+def gen_wordpiece_merges(ids, texts, n_merges=24) -> str:
+    merges, _ = _wp_twin_train(texts, n_merges)
+    rows = [
+        (str(i), _sql_str(p1), _sql_str(p2), repr(spark_round6(sc)))
+        for i, (p1, p2, sc) in enumerate(merges)
+    ]
+    return _values_sql(
+        rows,
+        [("rank", "INT"), ("p1", "VARCHAR"), ("p2", "VARCHAR"),
+         ("score", "DOUBLE")],
+    )
+
+
+def gen_wordpiece_tokenize(ids, texts, n_merges=24) -> str:
+    _, vocab = _wp_twin_train(texts, n_merges)
+    vs = set(vocab)
+    rows = []
+    for did, t in zip(ids, texts):
+        toks = _wp_twin_encode(t, vs)
+        rows.append((str(did), _sql_str(" ".join(toks)), str(len(toks))))
+    return _values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("tokens_str", "VARCHAR"), ("n_wp", "INT")],
+    )
+
+
 def _uni_twin_viterbi(word, logp, max_piece_len):
     """Independent twin of functions/unigram.viterbi_segment: memoized
     top-down recursion (deliberately NOT the engine's iterative DP),
@@ -808,6 +893,8 @@ def main() -> None:
         "bpe_train_tokenize_docs": gen_bpe_tokenize(ids, texts),
         "unigram_vocab_docs": gen_unigram_vocab(ids, texts),
         "unigram_train_tokenize_docs": gen_unigram_tokenize(ids, texts),
+        "wordpiece_merges_docs": gen_wordpiece_merges(ids, texts),
+        "wordpiece_train_tokenize_docs": gen_wordpiece_tokenize(ids, texts),
     }
     with open(OUT, "w") as f:
         json.dump(oracles, f, indent=1)
