@@ -2146,6 +2146,22 @@ def gopher_rules_docs(spark, sf):
     )
 
 
+def lm_kneser_ney_docs(spark, sf):
+    """Interpolated Kneser-Ney bigram perplexity (functions/lm.py,
+    smoothing='kneser_ney' — the KenLM family's smoothing, upgrading
+    the add-1 row lm_perplexity_docs): discounted ML term + backoff
+    mass times an add-1-smoothed continuation distribution, all KN
+    statistics aggregated from the bigram TABLE (vocabulary²-bounded).
+    Same decimal(20,9) exact-sum discipline; the float expression has
+    ONE pinned parenthesization mirrored verbatim in the oracle."""
+    from pulsarfeatureextractor_spark.functions.lm import with_lm_perplexity
+
+    d = load_table(spark, sf, "documents")
+    return with_lm_perplexity(
+        d, "text", "doc_id", smoothing="kneser_ney", out_col="lm_ppl_kn"
+    ).select("doc_id", "n_bigrams", "lm_ppl_kn")
+
+
 def curation_v2_docs(spark, sf):
     """Round-5 curation flagship: the three new published stages
     composed end-to-end — Gopher rules (fixture-adapted
@@ -2381,6 +2397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact VALUES oracles from the independent pure-python twin
         "wordpiece_merges_docs": wordpiece_merges_docs,
         "wordpiece_train_tokenize_docs": wordpiece_train_tokenize_docs,
+        # round-5: interpolated Kneser-Ney perplexity (the KenLM-family
+        # smoothing; full SQL oracle with the pinned-parenthesization
+        # float expression + decimal exact sums)
+        "lm_kneser_ney_docs": lm_kneser_ney_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -4132,6 +4152,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                CAST(COALESCE(a.n, 0) AS INT) AS n_bigrams,
                ROUND(EXP(-(CAST(a.s AS DOUBLE) / a.n)), 6) AS lm_ppl
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    out["lm_kneser_ney_docs"] = """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents
+        ), big AS (
+          SELECT doc_id,
+                 unnest(ws[1:len(ws)-1]) AS w1,
+                 unnest(ws[2:len(ws)]) AS w2
+          FROM ws WHERE len(ws) >= 2
+        ), bi AS (
+          SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2
+        ), ctxk AS (
+          SELECT w1, SUM(c) AS cd, COUNT(*) AS n1fw FROM bi GROUP BY 1
+        ), cont AS (
+          SELECT w2, COUNT(*) AS n1bw FROM bi GROUP BY 1
+        ), t AS (SELECT COUNT(*) AS nt FROM bi),
+        v AS (
+          SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ws) AS w FROM ws)
+        ), scored AS (
+          SELECT b.doc_id,
+                 CAST(ROUND(ln(
+                   CASE WHEN k.cd IS NULL THEN
+                     (COALESCE(cn.n1bw, 0) + 1)
+                       / CAST(t.nt + v.v + 1 AS DOUBLE)
+                   ELSE
+                     GREATEST(CAST(COALESCE(bi.c, 0) AS DOUBLE) - 0.75, 0.0)
+                       / CAST(k.cd AS DOUBLE)
+                     + ((0.75 * k.n1fw) / CAST(k.cd AS DOUBLE))
+                       * ((COALESCE(cn.n1bw, 0) + 1)
+                          / CAST(t.nt + v.v + 1 AS DOUBLE))
+                   END), 9) AS DECIMAL(20,9)) AS logp
+          FROM big b
+          LEFT JOIN bi USING (w1, w2)
+          LEFT JOIN ctxk k USING (w1)
+          LEFT JOIN cont cn USING (w2)
+          CROSS JOIN t CROSS JOIN v
+        ), agg AS (
+          SELECT doc_id, COUNT(*) AS n, SUM(logp) AS s
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n, 0) AS INT) AS n_bigrams,
+               ROUND(EXP(-(CAST(a.s AS DOUBLE) / a.n)), 6) AS lm_ppl_kn
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     # PHCX ingest: expected rows from the SAME pure-python truth the

@@ -99,6 +99,8 @@ def with_lm_perplexity(
     out_col: str = "lm_ppl",
     n_out: str = "n_bigrams",
     broadcast_lm: bool = False,
+    smoothing: str = "add1",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Score every document's bigram perplexity under the LM trained on
     ``train_df`` (default: the scored corpus itself — the CCNet
@@ -106,29 +108,88 @@ def with_lm_perplexity(
     ``out_col``; documents with fewer than 2 tokens score NULL
     perplexity and 0 bigrams.
 
+    ``smoothing``: ``"add1"`` (module docstring) or ``"kneser_ney"`` —
+    interpolated Kneser-Ney with fixed ``discount`` D (Kneser & Ney
+    1995; Chen & Goodman 1999 interpolated form, the KenLM family's
+    smoothing):
+
+        p(w2|w1) = max(c12 - D, 0)/cd(w1)
+                   + (D * n1+(w1,·)/cd(w1)) * pcont(w2)
+        pcont(w2) = (n1+(·,w2) + 1) / (n_types + V + 1)
+
+    where n1+(w1,·) / n1+(·,w2) are distinct-continuation /
+    distinct-context counts and n_types the number of distinct bigram
+    types.  The continuation distribution is add-1 smoothed over the
+    vocabulary plus one OOV slot so the model stays total (every
+    scored bigram gets p > 0 even for words unseen in training); an
+    unseen CONTEXT w1 backs off entirely to pcont(w2).  All extra KN
+    statistics aggregate the bigram TABLE (vocabulary²-bounded), not
+    the corpus — training stays two corpus-scale aggregates.  The
+    float expression is evaluated with one pinned parenthesization,
+    identical in the DuckDB oracle.
+
     ``broadcast_lm`` defaults to False: the bigram table's size tracks
     the training corpus (not a bounded vocabulary), so the safe default
     lets AQE choose the join strategy from measured sizes; set True to
     force a broadcast when the vocabulary is known-bounded.
     """
+    if smoothing not in ("add1", "kneser_ney"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
     bi, ctx, vocab = train_bigram_lm(
         train_df if train_df is not None else df, text_col, id_col
     )
-    if broadcast_lm:
-        bi, ctx = F.broadcast(bi), F.broadcast(ctx)
     big = _bigrams(_words(df, text_col), id_col)
-    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / (
-        F.coalesce(F.col("cd"), F.lit(0)) + F.col("v")
-    ).cast("double")
-    scored = (
-        big.join(bi, ["w1", "w2"], "left")
-        .join(ctx, ["w1"], "left")
-        .join(F.broadcast(vocab))
-        .select(
-            id_col,
-            F.round(F.log(p), 9).cast("decimal(20,9)").alias("__logp"),
+    if smoothing == "add1":
+        if broadcast_lm:
+            bi, ctx = F.broadcast(bi), F.broadcast(ctx)
+        p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / (
+            F.coalesce(F.col("cd"), F.lit(0)) + F.col("v")
+        ).cast("double")
+        scored = (
+            big.join(bi, ["w1", "w2"], "left")
+            .join(ctx, ["w1"], "left")
+            .join(F.broadcast(vocab))
+            .select(
+                id_col,
+                F.round(F.log(p), 9).cast("decimal(20,9)").alias("__logp"),
+            )
         )
-    )
+    else:
+        d = float(discount)
+        if not 0.0 < d < 1.0:
+            raise ValueError("discount must be in (0, 1)")
+        ctxk = bi.groupBy("w1").agg(
+            F.sum("c").alias("cd"), F.count(F.lit(1)).alias("n1fw")
+        )
+        cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+        types = bi.agg(F.count(F.lit(1)).alias("nt"))
+        if broadcast_lm:
+            bi, ctxk, cont = (
+                F.broadcast(bi), F.broadcast(ctxk), F.broadcast(cont),
+            )
+        cd_d = F.col("cd").cast("double")
+        pc = (F.coalesce(F.col("n1bw"), F.lit(0)) + 1) / (
+            F.col("nt") + F.col("v") + 1
+        ).cast("double")
+        p = F.when(F.col("cd").isNull(), pc).otherwise(
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            / cd_d
+            + ((F.lit(d) * F.col("n1fw")) / cd_d) * pc
+        )
+        scored = (
+            big.join(bi, ["w1", "w2"], "left")
+            .join(ctxk, ["w1"], "left")
+            .join(cont, ["w2"], "left")
+            .join(F.broadcast(types))
+            .join(F.broadcast(vocab))
+            .select(
+                id_col,
+                F.round(F.log(p), 9).cast("decimal(20,9)").alias("__logp"),
+            )
+        )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s")
     )
