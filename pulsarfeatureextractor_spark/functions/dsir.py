@@ -95,12 +95,25 @@ def gram_table(
     )
 
 
-def _bucketed(grams: DataFrame, seed: str) -> DataFrame:
-    """gram -> portable md5 bucket in [0, 4096) (splits.py expression,
-    applied post-explode so it is a plain codegen'd projection)."""
-    return grams.withColumn(
-        "bucket", F.expr(_md5_bucket_expr("gram", seed))
-    )
+def _bucketed(grams: DataFrame, seed: str, hasher: str = "md5") -> DataFrame:
+    """gram -> bucket in [0, 4096).  Two tiers, the ``hash_split``
+    discipline: ``"md5"`` (default) is the PORTABLE digit-lookup
+    expression every SQL engine reproduces bit-for-bit — what makes
+    the differential oracle a full SQL query; ``"xxhash"`` is the
+    production tier — one JVM ``xxhash64`` per gram (an order of
+    magnitude cheaper than md5 on the hot path), twinned in tests by
+    the from-spec python port in tools/xxh64.py.  Either way the
+    bucket is a plain codegen'd projection applied post-explode."""
+    if hasher == "md5":
+        bucket = F.expr(_md5_bucket_expr("gram", seed))
+    elif hasher == "xxhash":
+        bucket = F.pmod(
+            F.xxhash64(F.concat(F.col("gram"), F.lit("|" + seed))),
+            F.lit(N_BUCKETS),
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return grams.withColumn("bucket", bucket)
 
 
 def dsir_log_ratios(
@@ -109,17 +122,21 @@ def dsir_log_ratios(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "dsir",
+    hasher: str = "md5",
 ) -> DataFrame:
     """The bounded model: (bucket, lr DECIMAL(20,9)) for every bucket
     that occurs in the raw corpus (the only ones scoring ever needs).
     Two ≤ 4096-row aggregates + two 1-row totals; everything after
     the aggregates is tiny-side arithmetic."""
-    tg = _bucketed(gram_table(target, text_col, id_col), seed)
-    rg = _bucketed(gram_table(raw, text_col, id_col), seed)
+    tg = _bucketed(gram_table(target, text_col, id_col), seed, hasher)
+    rg = _bucketed(gram_table(raw, text_col, id_col), seed, hasher)
     ct = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     cr = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = tg.agg(F.count(F.lit(1)).alias("tt"))  # total target grams
-    tr = rg.agg(F.count(F.lit(1)).alias("tr"))  # total raw grams
+    # totals derive from the bucket tables (sum of exact integer
+    # counts == total gram count), NOT from a second corpus pass —
+    # each corpus gram-explode is scanned exactly once per side
+    tt = ct.agg(F.sum("ct").alias("tt"))  # total target grams
+    tr = cr.agg(F.sum("cr").alias("tr"))  # total raw grams
     b = F.lit(N_BUCKETS)
     lr = (
         F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
@@ -143,6 +160,7 @@ def with_dsir_logweight(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "dsir",
+    hasher: str = "md5",
     out_col: str = "dsir_logw",
     n_out: str = "n_grams",
 ) -> DataFrame:
@@ -150,7 +168,7 @@ def with_dsir_logweight(
     count, 0 for empty/NULL text) + ``out_col`` (exact-decimal gram
     log-ratio sum cast to double, 6 decimals; NULL when no grams).
     ONE corpus-scale shuffle (the id aggregate)."""
-    rg = _bucketed(gram_table(raw, text_col, id_col), seed)
+    rg = _bucketed(gram_table(raw, text_col, id_col), seed, hasher)
     scored = rg.join(F.broadcast(log_ratios), ["bucket"], "left")
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"), F.sum("lr").alias("__s")

@@ -177,3 +177,52 @@ def test_model_is_broadcast_single_corpus_shuffle(spark):
     # no sort-merge join anywhere on the bucket key: the tiny
     # model-building ct join broadcasts too
     assert "SortMergeJoin [bucket" not in plan
+
+
+def test_xxhash_production_tier_matches_port_twin(spark):
+    """hasher='xxhash' (the production tier: one JVM xxhash64 per gram
+    instead of md5) must match a twin built on the from-spec python
+    XXH64 port (tools/xxh64.py, itself JVM-pinned by test_xxh64)."""
+    from tools.xxh64 import xxh64
+
+    d = _docs(spark)
+    lr = dsir_log_ratios(d.where("lang = 'en'"), d, hasher="xxhash")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logw"])
+        for r in with_dsir_logweight(d, lr, hasher="xxhash").collect()
+    }
+
+    ct, cr = Counter(), Counter()
+    for _, text, lang, _src in DOCS:
+        for g in _twin_grams(text):
+            b = xxh64(f"{g}|dsir") % N_BUCKETS
+            cr[b] += 1
+            if lang == "en":
+                ct[b] += 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lrm = {
+        b: _round9_dec(
+            math.log((ct.get(b, 0) + 1) / float(tt + N_BUCKETS))
+            - math.log((c + 1) / float(tr + N_BUCKETS))
+        )
+        for b, c in cr.items()
+    }
+    for did, text, _lang, _src in DOCS:
+        gs = _twin_grams(text)
+        if not gs:
+            assert got[did] == (0, None)
+        else:
+            s = sum(lrm[xxh64(f"{g}|dsir") % N_BUCKETS] for g in gs)
+            want = float(Decimal(repr(float(s))).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP))
+            assert got[did] == (len(gs), want)
+
+
+def test_unknown_hasher_raises(spark):
+    d = _docs(spark)
+    try:
+        dsir_log_ratios(d.where("lang = 'en'"), d, hasher="nope")
+        # error surfaces at plan build time
+        raise AssertionError("did not raise")
+    except ValueError as e:
+        assert "hasher" in str(e)
