@@ -204,3 +204,65 @@ def test_stream_snapshot_table_matches_batch(spark, tmp_path):
     )
     want = sorted((r["k"], r["v"]) for r in tbl.read(spark).collect())
     assert got == want == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_gopher_rules_match_batch(spark, tmp_path):
+    """gopher_rules is a stateless scan-fused projection, so it is
+    stream-safe by construction — the same call works on a readStream
+    frame and matches the batch output row-for-row."""
+    from pulsarfeatureextractor_spark.functions.text import gopher_rules
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    docs_dir = str(tmp_path / "docs_g")
+    load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(docs_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(docs_dir))
+    got = _canon(_run(gopher_rules(stream, min_stop_hits=1), "t_gopher",
+                      spark, str(tmp_path)))
+    want = _canon(
+        gopher_rules(spark.read.parquet(docs_dir),
+                     min_stop_hits=1).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """DSIR scoring of a STREAM against a pre-trained (static)
+    log-ratio model is a stream-static broadcast join + a streaming
+    aggregate — the production shape: train the model on yesterday's
+    corpus, score today's crawl as it lands."""
+    from pulsarfeatureextractor_spark.functions.dsir import (
+        dsir_log_ratios,
+        gram_table,
+        _bucketed,
+    )
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+    import pyspark.sql.functions as SF_
+
+    docs_dir = str(tmp_path / "docs_d")
+    batch = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    batch.coalesce(1).write.parquet(docs_dir)
+    static = spark.read.parquet(docs_dir)
+    lr = dsir_log_ratios(static.where("lang = 'en'"), static)
+    lr.persist().count()  # pin the static model
+
+    def score_stream(df):
+        rg = _bucketed(gram_table(df), "dsir")
+        scored = rg.join(SF_.broadcast(lr), ["bucket"], "left")
+        return scored.groupBy("doc_id").agg(
+            SF_.count(SF_.lit(1)).alias("n_grams"),
+            SF_.round(SF_.sum("lr").cast("double"), 6).alias("dsir_logw"),
+        )
+
+    stream = (spark.readStream.schema("doc_id long, text string, lang string")
+              .parquet(docs_dir))
+    got = _canon(_run(score_stream(stream), "t_dsir", spark,
+                      str(tmp_path), mode="complete"))
+    want = _canon(score_stream(static).toPandas())
+    lr.unpersist()
+    pd.testing.assert_frame_equal(got, want)
