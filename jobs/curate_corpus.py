@@ -129,6 +129,22 @@ def build_pipeline(spark, args):
         filt = with_repetition_metrics(
             filt, args.text_col, id_col=args.id_col
         ).where(F.col("rep_2") <= args.max_rep2).drop("rep_1", "rep_2", "rep_3")
+    if args.gopher:
+        # Gopher rule filter (functions/text.gopher_rules, Rae et al.
+        # 2021): scan-fused, zero shuffles — it rides the same scan as
+        # the min-tokens cut, so its drops land in dropped_quality
+        from pulsarfeatureextractor_spark.functions.text import gopher_rules
+
+        _g_cols = ["n_words", "mean_word_len_g", "alpha_frac",
+                   "symbol_ratio", "stop_hits", "gopher_keep"]
+        filt = (
+            gopher_rules(
+                filt, args.text_col,
+                min_stop_hits=args.gopher_min_stop_hits,
+            )
+            .where(F.col("gopher_keep"))
+            .drop(*_g_cols)
+        )
     # Each expensive stage (quality chain, model UDF, LM train+score)
     # materializes exactly ONCE via localCheckpoint before its lineage
     # count: counting the lazy chain would re-execute the model
@@ -238,6 +254,29 @@ def build_pipeline(spark, args):
         n_after = filt.count()
         n_ppl_dropped = n_stage - n_after
         n_stage = n_after
+    n_span_dropped = 0
+    if args.max_dup_fraction is not None:
+        # repeated-span gate (operators/spans.py, Lee et al. 2021
+        # predicate): drop docs whose duplicated-3-gram token coverage
+        # exceeds the cut — heavy verbatim repeaters leave BEFORE the
+        # pair graph (they are exactly the docs that blow up near-dup
+        # candidate generation)
+        from pulsarfeatureextractor_spark.operators.spans import (
+            repeated_ngram_coverage,
+        )
+
+        cov = repeated_ngram_coverage(
+            filt.select(args.id_col, args.text_col),
+            args.text_col, args.id_col,
+        ).where(F.col("dup_fraction") <= args.max_dup_fraction).select(
+            args.id_col
+        )
+        filt = filt.join(cov, [args.id_col], "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_after = filt.count()
+        n_span_dropped = n_stage - n_after
+        n_stage = n_after
     # filt is checkpointed on every path above: the pair graph and the
     # split both consume it (iterative CC would otherwise recompute the
     # filter chain every round)
@@ -258,6 +297,38 @@ def build_pipeline(spark, args):
         ),
         args.id_col,
     )
+    n_dsir_dropped = 0
+    if args.dsir_target_lang is not None:
+        # DSIR data-selection stage (functions/dsir.py, Xie et al.
+        # 2023): score every canonical doc's hashed-n-gram likelihood
+        # ratio under target-language vs whole-corpus multinomials,
+        # keep the Gumbel top --dsir-frac per source stratum.  Runs on
+        # the DEDUPED canonical set (scoring dup copies would waste the
+        # corpus-scale pass) with the production xxhash tier.
+        from pulsarfeatureextractor_spark.functions.dsir import (
+            dsir_log_ratios,
+            dsir_select,
+            with_dsir_logweight,
+        )
+
+        if args.dsir_lang_col not in kept.columns:
+            raise SystemExit(
+                f"--dsir-target-lang needs column {args.dsir_lang_col!r}"
+            )
+        kept = kept.localCheckpoint(eager=True)
+        n_before = kept.count()
+        lr = dsir_log_ratios(
+            kept.where(F.col(args.dsir_lang_col) == args.dsir_target_lang),
+            kept, args.text_col, args.id_col, hasher=args.dsir_hasher,
+        )
+        w = with_dsir_logweight(
+            kept, lr, args.text_col, args.id_col, hasher=args.dsir_hasher
+        )
+        kept = dsir_select(
+            w, "dsir_logw", args.mix_source_col, args.id_col,
+            frac=args.dsir_frac,
+        ).drop("n_grams", "dsir_logw", "sel_key").localCheckpoint(eager=True)
+        n_dsir_dropped = n_before - kept.count()
     mix = None
     n_canonical = None
     if args.mix_weights or args.mix_temperature is not None:
@@ -359,10 +430,12 @@ def build_pipeline(spark, args):
             "docs_canonical": n_canonical if n_canonical is not None else n_kept,
             "rows_out": n_kept,
             "dropped_quality": n_in - n_filtered - n_model_dropped
-            - n_ppl_dropped,
+            - n_ppl_dropped - n_span_dropped,
             "dropped_model": n_model_dropped,
             "dropped_perplexity": n_ppl_dropped,
-            "dropped_dup": n_filtered
+            "dropped_repeated_spans": n_span_dropped,
+            "dropped_dsir": n_dsir_dropped,
+            "dropped_dup": n_filtered - n_dsir_dropped
             - (n_canonical if n_canonical is not None else n_kept),
         },
     }
@@ -430,6 +503,27 @@ def main(argv=None) -> dict:
     ap.add_argument("--mix-cost-col", default=None,
                     help="numeric per-doc cost column for the budget; "
                          "default stages length(text-col)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher quality rules (Rae et al. "
+                         "2021, functions/text.gopher_rules) as a "
+                         "scan-fused filter before dedup")
+    ap.add_argument("--gopher-min-stop-hits", type=int, default=2,
+                    help="distinct Gopher stopwords required (paper "
+                         "default 2; lower for corpora whose "
+                         "vocabulary misses the English list)")
+    ap.add_argument("--max-dup-fraction", type=float, default=None,
+                    help="drop docs whose duplicated-3-gram token "
+                         "coverage exceeds this fraction (repeated-"
+                         "span gate, operators/spans.py)")
+    ap.add_argument("--dsir-target-lang", default=None,
+                    help="DSIR data selection: target corpus = docs "
+                         "with this value in --dsir-lang-col; keeps "
+                         "the Gumbel top --dsir-frac per source "
+                         "stratum after dedup (functions/dsir.py)")
+    ap.add_argument("--dsir-frac", type=float, default=0.5)
+    ap.add_argument("--dsir-lang-col", default="lang")
+    ap.add_argument("--dsir-hasher", default="xxhash",
+                    choices=["xxhash", "md5"])
     ap.add_argument("--pair-source", default="minhash",
                     choices=["minhash", "ngram"],
                     help="near-dup candidate source (minhash = scale path)")

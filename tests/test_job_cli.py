@@ -429,3 +429,56 @@ def test_curate_job_percentile_gate_empty_stage(spark, tmp_path):
     assert res["written"] == [] or all(
         spark.read.parquet(out).count() == 0 for _ in [0]
     )
+
+
+def test_curate_job_round5_stages(spark, tmp_path):
+    """--gopher + --max-dup-fraction + --dsir-target-lang: the three
+    round-5 stages chained through the CLI, each reporting its drops
+    in the lineage metrics."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "curated_r5")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20",
+        "--gopher", "--gopher-min-stop-hits", "1",
+        "--max-dup-fraction", "0.98",
+        "--dsir-target-lang", "en", "--dsir-frac", "0.5",
+        "--split-weights", "train:0.8,val:0.1,test:0.1",
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    assert cur.select("doc_id").distinct().count() == cur.count()
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    m = side["metrics"]
+    # every stage fired and the ledger adds up
+    assert m["dropped_quality"] > 0          # gopher folded in here
+    assert m["dropped_repeated_spans"] >= 0
+    assert m["dropped_dsir"] > 0             # top-50% per source cut
+    assert (
+        m["docs_in"] - m["dropped_quality"] - m["dropped_model"]
+        - m["dropped_perplexity"] - m["dropped_repeated_spans"]
+        - m["dropped_dup"] - m["dropped_dsir"]
+        == m["rows_out"]
+    )
+    # determinism: rerun writes the identical doc set
+    out2 = str(tmp_path / "curated_r5b")
+    curate_corpus.main([
+        "--input", src, "--output", out2,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "20",
+        "--gopher", "--gopher-min-stop-hits", "1",
+        "--max-dup-fraction", "0.98",
+        "--dsir-target-lang", "en", "--dsir-frac", "0.5",
+        "--split-weights", "train:0.8,val:0.1,test:0.1",
+    ])
+    ids1 = sorted(r["doc_id"] for r in cur.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert ids1 == ids2
