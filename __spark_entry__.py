@@ -2214,6 +2214,64 @@ def lm_perplexity_docs(spark, sf):
     )
 
 
+def line_dedup_docs(spark, sf):
+    """RefinedWeb-style exact line-level dedup (operators/dedup.
+    line_dedup, Penedo et al. 2023 §3.3): every occurrence of a
+    non-blank line appearing >= 2 times corpus-wide is removed,
+    survivors rejoin in order.  The fixture text has no newlines, so
+    the query first PLANTS a deterministic line segmentation (3-token
+    lines via scan-side slice/array_join — same plant discipline as
+    redact_pii_docs) in arithmetic both engines reproduce exactly;
+    3-token lines over the ~30-word fixture vocabulary collide
+    heavily across documents, so the gate genuinely splits.  One
+    line-frequency hash aggregate + LEFT ANTI + ordered reassembly;
+    full SQL oracle."""
+    from pulsarfeatureextractor_spark.operators.dedup import line_dedup
+
+    d = load_table(spark, sf, "documents")
+    ws = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
+    n_lines = F.floor((F.size(ws) + F.lit(2)) / F.lit(3)).cast("int")
+    planted = F.array_join(
+        F.transform(
+            F.when(n_lines > 0, F.sequence(F.lit(1), n_lines)).otherwise(
+                F.expr("array()").cast("array<int>")
+            ),
+            lambda i: F.array_join(
+                F.slice(ws, (i - F.lit(1)) * F.lit(3) + F.lit(1), F.lit(3)),
+                " ",
+            ),
+        ),
+        "\n",
+    )
+    return line_dedup(
+        d.select("doc_id", planted.alias("planted")), text_col="planted"
+    ).select("doc_id", "clean_text", "n_lines", "n_kept", "n_removed")
+
+
+# C4 §2.2 drops any page containing a blocklisted word; the fixture
+# vocabulary stands in for the published list so the gate splits.
+_BLOCKLIST_FIXTURE = ["big", "slow", "vector"]
+
+
+def blocklist_filter_docs(spark, sf):
+    """C4-style blocklist gate (functions/text.blocklist_filter,
+    Raffel et al. 2020 §2.2, tolerance max_distinct_hits=1): distinct
+    and total blocked-token counts + keep flag, exact-integer counts,
+    scan-fused zero-shuffle plan.  Full SQL oracle (list_intersect /
+    list_filter mirror array_intersect / filter)."""
+    from pulsarfeatureextractor_spark.functions.text import blocklist_filter
+
+    d = load_table(spark, sf, "documents")
+    return blocklist_filter(
+        d, _BLOCKLIST_FIXTURE, "text", max_distinct_hits=1
+    ).select(
+        "doc_id", "n_blocked_distinct", "n_blocked_tokens", "blocklist_keep"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -2401,6 +2459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoothing; full SQL oracle with the pinned-parenthesization
         # float expression + decimal exact sums)
         "lm_kneser_ney_docs": lm_kneser_ney_docs,
+        # round-5: RefinedWeb exact line-level dedup (planted 3-token
+        # line segmentation; full SQL oracle) and C4 blocklist gate
+        # (scan-fused, full SQL oracle)
+        "line_dedup_docs": line_dedup_docs,
+        "blocklist_filter_docs": blocklist_filter_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -4054,6 +4117,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(n_words AS INT) AS n_words,
                dup_fraction, dsir_logw, sel_key
         FROM ranked2 WHERE rk <= k
+    """
+    out["line_dedup_docs"] = """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(range(1, CAST((len(ws) + 2) // 3 AS INT) + 1),
+                                  i -> array_to_string(
+                                         ws[(i-1)*3+1 : (i-1)*3+3], ' ')),
+                   chr(10)) AS planted
+          FROM ws
+        ), l AS (
+          SELECT doc_id,
+                 unnest(string_split(planted, chr(10))) AS line,
+                 unnest(range(1, len(string_split(planted, chr(10))) + 1))
+                   AS pos
+          FROM planted
+        ), dup AS (
+          SELECT line FROM l WHERE trim(line) <> ''
+          GROUP BY line HAVING COUNT(*) >= 2
+        ), kept AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM l ANTI JOIN dup USING (line)
+          GROUP BY doc_id
+        ), nl AS (
+          SELECT doc_id,
+                 len(string_split(planted, chr(10))) AS n_lines
+          FROM planted
+        )
+        SELECT n.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(n.n_lines AS INT) AS n_lines,
+               CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+               CAST(n.n_lines - COALESCE(k.n_kept, 0) AS INT) AS n_removed
+        FROM nl n LEFT JOIN kept k USING (doc_id)
+    """
+    out["blocklist_filter_docs"] = """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(list_distinct(ws),
+                    ['big', 'slow', 'vector'])) AS INT)
+                 AS n_blocked_distinct,
+               CAST(len(list_filter(ws,
+                    x -> list_contains(['big', 'slow', 'vector'], x)))
+                    AS INT) AS n_blocked_tokens,
+               len(list_intersect(list_distinct(ws),
+                   ['big', 'slow', 'vector'])) <= 1 AS blocklist_keep
+        FROM ws
     """
     out["gopher_rules_docs"] = """
         WITH w AS (

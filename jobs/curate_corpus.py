@@ -124,6 +124,26 @@ def build_pipeline(spark, args):
             .withColumnRenamed("clean_text", args.text_col)
         )
 
+    if args.line_dedup_min_count is not None:
+        # corpus-level line rewrite (RefinedWeb exact line dedup,
+        # operators/dedup.line_dedup): like --boilerplate-ratio it
+        # runs BEFORE any filtering and replaces text_col, so every
+        # downstream stage sees line-deduped documents; docs emptied
+        # by the rewrite fall to the min-tokens cut (dropped_quality).
+        # The id join is one keyed exchange — at 100 TB prefer
+        # bucketing the corpus by id so it co-locates.
+        from pulsarfeatureextractor_spark.operators.dedup import line_dedup
+
+        cleaned = line_dedup(
+            docs, args.text_col, id_col=args.id_col,
+            min_count=args.line_dedup_min_count,
+        ).select(args.id_col, "clean_text")
+        docs = (
+            docs.drop(args.text_col)
+            .join(cleaned, args.id_col)
+            .withColumnRenamed("clean_text", args.text_col)
+        )
+
     filt = docs.where(F.size(words_col(args.text_col)) >= args.min_tokens)
     if args.max_rep2 < 1.0:
         filt = with_repetition_metrics(
@@ -144,6 +164,24 @@ def build_pipeline(spark, args):
             )
             .where(F.col("gopher_keep"))
             .drop(*_g_cols)
+        )
+    if args.blocklist:
+        # C4-style blocklist gate (functions/text.blocklist_filter):
+        # scan-fused like the Gopher rules, so its drops land in
+        # dropped_quality with the rest of the scan-time cuts
+        from pulsarfeatureextractor_spark.functions.text import (
+            blocklist_filter,
+        )
+
+        words = [w for w in args.blocklist.split(",") if w]
+        filt = (
+            blocklist_filter(
+                filt, words, args.text_col,
+                max_distinct_hits=args.blocklist_max_hits,
+            )
+            .where(F.col("blocklist_keep"))
+            .drop("n_blocked_distinct", "n_blocked_tokens",
+                  "blocklist_keep")
         )
     # Each expensive stage (quality chain, model UDF, LM train+score)
     # materializes exactly ONCE via localCheckpoint before its lineage
@@ -511,6 +549,20 @@ def main(argv=None) -> dict:
                     help="distinct Gopher stopwords required (paper "
                          "default 2; lower for corpora whose "
                          "vocabulary misses the English list)")
+    ap.add_argument("--line-dedup-min-count", type=int, default=None,
+                    help="RefinedWeb exact line-level dedup: rewrite "
+                         "each document removing every occurrence of "
+                         "any non-blank line appearing >= N times "
+                         "corpus-wide (operators/dedup.line_dedup); "
+                         "runs before all filters")
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated C4-style bad-word list; "
+                         "docs with more than --blocklist-max-hits "
+                         "distinct listed words are dropped "
+                         "(functions/text.blocklist_filter)")
+    ap.add_argument("--blocklist-max-hits", type=int, default=0,
+                    help="max DISTINCT blocklisted words a kept doc "
+                         "may contain (default 0: any hit drops)")
     ap.add_argument("--max-dup-fraction", type=float, default=None,
                     help="drop docs whose duplicated-3-gram token "
                          "coverage exceeds this fraction (repeated-"

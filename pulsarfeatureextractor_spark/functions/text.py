@@ -277,6 +277,50 @@ def redact_pii(
     return out.withColumn(out_col, red)
 
 
+def blocklist_filter(
+    df: DataFrame,
+    words: "list[str]",
+    text_col: str = "text",
+    max_distinct_hits: int = 0,
+) -> DataFrame:
+    """C4-style bad-word / blocklist gate (Raffel et al. 2020 §2.2
+    drop any page containing a word from a blocklist; generalized to
+    a tolerance): per document, count the blocklisted words present
+    and keep iff at most ``max_distinct_hits`` DISTINCT blocklist
+    words appear.
+
+    Output = input columns + ``n_blocked_distinct`` (distinct
+    blocklist words present), ``n_blocked_tokens`` (total blocked
+    occurrences), ``blocklist_keep``.
+
+    Pinned semantics (mirrored by the DuckDB oracle): tokens are the
+    non-empty whitespace splits, matching is EXACT string equality
+    (case-sensitive — callers lower() both sides for the usual C4
+    behavior); distinct-hit counting dedups the document's tokens
+    first (array_intersect/list_intersect on both engines).
+
+    Plan shape / 100 TB posture: the blocklist is a LITERAL array in
+    the plan (C4's list is ~400 entries — expression-sized, cheaper
+    than a broadcast join), so the whole gate is scan-fused: zero
+    shuffles, zero Python, fully pushable below any downstream join.
+    """
+    blk = F.array(*[F.lit(w) for w in sorted(set(words))])
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
+    n_distinct = F.size(F.array_intersect(F.array_distinct(ws), blk))
+    n_tokens = F.size(F.filter(ws, lambda w: F.array_contains(blk, w)))
+    return df.select(
+        "*",
+        n_distinct.cast("int").alias("n_blocked_distinct"),
+        n_tokens.cast("int").alias("n_blocked_tokens"),
+        (n_distinct <= F.lit(int(max_distinct_hits))).alias(
+            "blocklist_keep"
+        ),
+    )
+
+
 def boilerplate_tokens(
     df: DataFrame,
     text_col: str = "text",

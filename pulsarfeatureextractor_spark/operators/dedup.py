@@ -77,6 +77,90 @@ def dedup_against(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """RefinedWeb-style exact line-level dedup (Penedo et al. 2023
+    §3.3 "exact line deduplication"): remove EVERY occurrence of any
+    non-blank line whose exact text appears >= ``min_count`` times
+    corpus-wide (intra-document repeats count), preserving the order
+    of the surviving lines.
+
+    Pinned semantics (mirrored verbatim by the DuckDB differential
+    oracle):
+
+    - lines = split(coalesce(text, ''), sep) — no trimming, no empty
+      filtering; a doc with NULL text has one line ''.
+    - a line is dedup-ELIGIBLE iff trim(line) <> ''; blank lines are
+      always kept (they never match an eligible line's text, so one
+      anti join handles both classes).
+    - duplicated = eligible line with >= min_count total occurrences.
+    - surviving lines rejoin with ``sep`` in original order;
+      all-removed docs emit '' (never NULL).
+
+    Output: (id_col, out_col, n_lines, n_kept, n_removed).
+
+    Plan shape / 100 TB posture: scan-side posexplode; ONE corpus
+    -scale hash aggregate on the line text (map-side combine; the
+    exchange carries distinct lines — at 100 TB group on
+    xxhash64(line) instead to shrink the key to 8 bytes, the string
+    key keeps the oracle pure SQL); LEFT ANTI join back (never
+    row-multiplying); one per-document aggregate whose
+    array_sort(collect_list(struct(pos, line))) reassembly is
+    deterministic under any partitioning because pos is unique per
+    document.  No Python anywhere; no driver-side state.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("__pos", "__line"),
+    )
+    dup = (
+        lines.where(F.trim(F.col("__line")) != "")
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= F.lit(int(min_count)))
+        .select("__line")
+    )
+    kept = (
+        lines.join(dup, "__line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("n_lines"),
+    )
+    return base.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
 def prepare_digest_reference(
     reference: DataFrame,
     name: str,

@@ -431,6 +431,56 @@ def test_curate_job_percentile_gate_empty_stage(spark, tmp_path):
     )
 
 
+def test_curate_job_line_dedup_and_blocklist(spark, tmp_path):
+    """--line-dedup-min-count rewrites text before all filters;
+    --blocklist drops into the quality bucket; the ledger still sums."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_lines")
+    rows = []
+    for i in range(40):
+        # plant a duplicated line in even docs; odd docs unique + one
+        # blocklisted word in docs 1,3,5
+        dup = "common boiler line"
+        body = " ".join(f"tok{i}w{j}" for j in range(30))
+        text = (dup + "\n" + body) if i % 2 == 0 else body
+        if i in (1, 3, 5):
+            text += " badword"
+        rows.append((i, text, "en", "web"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curated_lines")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.99",
+        "--min-tokens", "5",
+        "--line-dedup-min-count", "2",
+        "--blocklist", "badword,otherbad",
+        "--split-weights", "train:1.0",
+    ])
+    assert len(res["written"]) > 0
+    cur = spark.read.parquet(out)
+    # the duplicated line is gone from every survivor
+    assert cur.where(F.col("text").contains("common boiler line")).count() == 0
+    # the three blocklisted docs were dropped
+    ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert ids.isdisjoint({1, 3, 5})
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    side = json.load(open(os.path.join(out, parts[0], "_lineage.json")))
+    m = side["metrics"]
+    assert m["dropped_quality"] >= 3  # blocklist drops land here
+    assert (
+        m["docs_in"] - m["dropped_quality"] - m["dropped_model"]
+        - m["dropped_perplexity"] - m["dropped_repeated_spans"]
+        - m["dropped_dup"] - m["dropped_dsir"]
+        == m["rows_out"]
+    )
+
+
 def test_curate_job_round5_stages(spark, tmp_path):
     """--gopher + --max-dup-fraction + --dsir-target-lang: the three
     round-5 stages chained through the CLI, each reporting its drops

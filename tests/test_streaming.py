@@ -229,6 +229,29 @@ def test_streaming_gopher_rules_match_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_streaming_blocklist_match_batch(spark, tmp_path):
+    """blocklist_filter is stateless and scan-fused like gopher_rules,
+    so the same call on a readStream frame matches batch row-for-row."""
+    from pulsarfeatureextractor_spark.functions.text import blocklist_filter
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    docs_dir = str(tmp_path / "docs_b")
+    load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(docs_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(docs_dir))
+    got = _canon(_run(blocklist_filter(stream, ["big", "slow"]),
+                      "t_blk", spark, str(tmp_path)))
+    want = _canon(
+        blocklist_filter(
+            spark.read.parquet(docs_dir), ["big", "slow"]
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     """DSIR scoring of a STREAM against a pre-trained (static)
     log-ratio model is a stream-static broadcast join + a streaming
