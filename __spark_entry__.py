@@ -2272,6 +2272,51 @@ def blocklist_filter_docs(spark, sf):
     )
 
 
+def nb_train_docs(spark, sf):
+    """In-engine multinomial Naive Bayes TRAINING (functions/nb.py,
+    McCallum & Nigam 1998): the model table learned from the labeled
+    corpus (lang column) — the complete (label x vocabulary) grid with
+    exact integer counts and add-1-smoothed log-conditionals.  ONE
+    corpus-scale count shuffle; everything downstream aggregates the
+    bounded grid.  Float discipline: each log-prob is ln of a ratio of
+    exact integers (identical double in both engines), rounded 9dp and
+    cast DECIMAL(20,9); output casts back to double (correctly-rounded
+    cast).  Full SQL oracle."""
+    from pulsarfeatureextractor_spark.functions.nb import train_nb
+
+    d = load_table(spark, sf, "documents")
+    m = train_nb(d, "text", "lang")
+    return m.select(
+        "label",
+        "token",
+        "cnt",
+        F.col("log_cond").cast("double").alias("log_cond"),
+        F.col("log_prior").cast("double").alias("log_prior"),
+    )
+
+
+def nb_classify_docs(spark, sf):
+    """In-engine NB train -> classify loop (functions/nb.py): the
+    model of nb_train_docs applied back over the corpus — per-doc
+    argmax of log P(c) + sum log P(t|c) over in-vocabulary token
+    occurrences, exact DECIMAL(20,9) sums (associative under any
+    partitioning), ties to the smallest label, zero-in-vocab docs
+    predicted by prior alone.  Classification is one model join + one
+    (doc, label) hash aggregate; no broadcast hint is planted (the
+    vocabulary grows with corpus diversity — AQE decides; round-4
+    ADVICE posture).  Full SQL oracle reproducing the entire chain."""
+    from pulsarfeatureextractor_spark.functions.nb import (
+        classify_nb,
+        train_nb,
+    )
+
+    d = load_table(spark, sf, "documents")
+    model = train_nb(d, "text", "lang")
+    return classify_nb(d, model, "text", "doc_id").select(
+        "doc_id", "nb_pred", "nb_score", "n_tok_nb"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -2464,6 +2509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (scan-fused, full SQL oracle)
         "line_dedup_docs": line_dedup_docs,
         "blocklist_filter_docs": blocklist_filter_docs,
+        # round-5: in-engine multinomial Naive Bayes train + classify
+        # (the discrete companion to quality_regression_docs' linear
+        # fit — the whole learned-classifier gate loop stays in-engine;
+        # full SQL oracles over exact-integer counts + decimal sums)
+        "nb_train_docs": nb_train_docs,
+        "nb_classify_docs": nb_classify_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -4176,6 +4227,98 @@ def oracle_sql() -> dict[str, str]:
                len(list_intersect(list_distinct(ws),
                    ['big', 'slow', 'vector'])) <= 1 AS blocklist_keep
         FROM ws
+    """
+    out["nb_train_docs"] = """
+        WITH ws AS (
+          SELECT lang,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT lang AS label, unnest(ws) AS token FROM ws
+        ), counts AS (
+          SELECT label, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+        ), tot AS (
+          SELECT label, SUM(cnt) AS tot FROM counts GROUP BY 1
+        ), vocab AS (SELECT DISTINCT token FROM counts),
+        v AS (SELECT COUNT(*) AS v FROM vocab),
+        pri AS (
+          SELECT lang AS label, COUNT(*) AS ndocs FROM documents GROUP BY 1
+        ), ntot AS (SELECT SUM(ndocs) AS ntot FROM pri),
+        priors AS (
+          SELECT label,
+                 CAST(ROUND(ln(ndocs / CAST(ntot AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) AS log_prior
+          FROM pri CROSS JOIN ntot
+        ), grid AS (
+          SELECT t.label, vb.token FROM tot t CROSS JOIN vocab vb
+        )
+        SELECT g.label, g.token,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+               CAST(CAST(ROUND(ln((COALESCE(c.cnt, 0) + 1)
+                                  / CAST(t.tot + v.v AS DOUBLE)), 9)
+                         AS DECIMAL(20,9)) AS DOUBLE) AS log_cond,
+               CAST(p.log_prior AS DOUBLE) AS log_prior
+        FROM grid g
+        LEFT JOIN counts c ON c.label = g.label AND c.token = g.token
+        JOIN tot t ON t.label = g.label
+        CROSS JOIN v
+        JOIN priors p ON p.label = g.label
+    """
+    out["nb_classify_docs"] = """
+        WITH ws AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(COALESCE(text, ''), ' '),
+                             w -> w <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT lang AS label, unnest(ws) AS token FROM ws
+        ), counts AS (
+          SELECT label, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+        ), tot AS (
+          SELECT label, SUM(cnt) AS tot FROM counts GROUP BY 1
+        ), vocab AS (SELECT DISTINCT token FROM counts),
+        v AS (SELECT COUNT(*) AS v FROM vocab),
+        pri AS (
+          SELECT lang AS label, COUNT(*) AS ndocs FROM documents GROUP BY 1
+        ), ntot AS (SELECT SUM(ndocs) AS ntot FROM pri),
+        priors AS (
+          SELECT label,
+                 CAST(ROUND(ln(ndocs / CAST(ntot AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) AS log_prior
+          FROM pri CROSS JOIN ntot
+        ), model AS (
+          SELECT t.label, vb.token,
+                 CAST(ROUND(ln((COALESCE(c.cnt, 0) + 1)
+                               / CAST(t.tot + v.v AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) AS log_cond
+          FROM tot t CROSS JOIN vocab vb
+          LEFT JOIN counts c ON c.label = t.label AND c.token = vb.token
+          CROSS JOIN v
+        ), toks AS (
+          SELECT doc_id, unnest(ws) AS token FROM ws
+        ), scored AS (
+          SELECT tk.doc_id, m.label,
+                 SUM(m.log_cond) AS s, COUNT(*) AS n
+          FROM toks tk JOIN model m ON m.token = tk.token
+          GROUP BY 1, 2
+        ), filled AS (
+          SELECT d.doc_id, p.label,
+                 COALESCE(s.s, CAST(0 AS DECIMAL(20,9))) + p.log_prior
+                   AS score,
+                 COALESCE(s.n, 0) AS n
+          FROM documents d CROSS JOIN priors p
+          LEFT JOIN scored s
+            ON s.doc_id = d.doc_id AND s.label = p.label
+        ), best AS (
+          SELECT doc_id, MAX(score) AS ms FROM filled GROUP BY 1
+        )
+        SELECT f.doc_id, MIN(f.label) AS nb_pred,
+               CAST(f.score AS DOUBLE) AS nb_score,
+               CAST(MIN(f.n) AS BIGINT) AS n_tok_nb
+        FROM filled f
+        JOIN best b ON b.doc_id = f.doc_id AND f.score = b.ms
+        GROUP BY f.doc_id, f.score
     """
     out["gopher_rules_docs"] = """
         WITH w AS (
