@@ -2317,6 +2317,24 @@ def nb_classify_docs(spark, sf):
     )
 
 
+def top_fraction_by_docs(spark, sf):
+    """EXACT per-group top-fraction gate (functions/inference.
+    keep_top_fraction_by — the FineWeb-Edu posture: keep the best X%
+    per language so low-resource groups are not starved by a global
+    cutoff).  Rank-based: ties at the boundary are ALL kept, NULL
+    scores never; ONE exchange on the group key, both windows reuse
+    it.  Scored here on n_chars per lang at fraction 0.5; full SQL
+    oracle (identical rank()/count() windows + ceil)."""
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction_by,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return keep_top_fraction_by(d, "n_chars", "lang", 0.5).select(
+        "doc_id", "lang", "n_chars", "grp_n", "grp_rank", "keep_frac"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the grading driver checks the FIRST 50 dict
     entries against oracle_sql().  Positions 1–50 therefore hold exactly
@@ -2515,6 +2533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full SQL oracles over exact-integer counts + decimal sums)
         "nb_train_docs": nb_train_docs,
         "nb_classify_docs": nb_classify_docs,
+        # round-5: exact per-group top-fraction gate (FineWeb-Edu
+        # keep-top-X%-per-language; rank-based, ties kept, one
+        # exchange; full SQL oracle)
+        "top_fraction_by_docs": top_fraction_by_docs,
         # (redundant TPC-H shape demos that went green in round 1, id-scheme
         # variants, and the approx/sketch surfaces whose exactness is pinned
         # by pytest rather than a SQL oracle)
@@ -4319,6 +4341,21 @@ def oracle_sql() -> dict[str, str]:
         FROM filled f
         JOIN best b ON b.doc_id = f.doc_id AND f.score = b.ms
         GROUP BY f.doc_id, f.score
+    """
+    out["top_fraction_by_docs"] = """
+        SELECT doc_id, lang, n_chars,
+               CAST(COUNT(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+                 AS grp_n,
+               CAST(RANK() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC NULLS LAST)
+                    AS BIGINT) AS grp_rank,
+               n_chars IS NOT NULL
+                 AND RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC NULLS LAST)
+                     <= CAST(ceil(COUNT(n_chars) OVER (PARTITION BY lang)
+                                  * 0.5) AS BIGINT)
+                 AS keep_frac
+        FROM documents
     """
     out["gopher_rules_docs"] = """
         WITH w AS (

@@ -35,7 +35,7 @@ from typing import Callable, Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -312,6 +312,54 @@ def keep_top_fraction(
     qs = df.approxQuantile(score_col, [1.0 - fraction], relative_error)
     cut = qs[0] if qs else float("inf")
     return df.where(F.col(score_col) >= F.lit(float(cut)))
+
+
+def keep_top_fraction_by(
+    df: DataFrame,
+    score_col: str,
+    by: "str | list[str]",
+    fraction: float,
+) -> DataFrame:
+    """EXACT per-group top-fraction gate (the FineWeb-Edu posture:
+    keep the best X% of documents *per language/source* rather than a
+    single global cutoff, so low-resource groups are not starved by a
+    global threshold dominated by the largest group).
+
+    Rank-based and exact (the global `keep_top_fraction` trades
+    exactness for one G-K sketch pass; per-group the rank window costs
+    the same single exchange anyway, so exactness is free): every row
+    gains ``grp_n`` (non-NULL-score rows in its group), ``grp_rank``
+    (``rank()`` by score descending, NULLs last) and ``keep_frac``
+    (rank <= ceil(grp_n * fraction) and score non-NULL).  Pinned
+    semantics: score TIES at the boundary are ALL kept (rank, not
+    row_number — deterministic under any partitioning with no
+    tiebreaker column needed), NULL scores are never kept, an all-NULL
+    or empty group keeps nothing.
+
+    Plan shape / 100 TB posture: ONE exchange on the group key; both
+    window frames reuse that partitioning.  The caller filters on
+    ``keep_frac`` (flag style, like gopher_rules / blocklist_filter,
+    so lineage ledgers can count drops).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    w_part = Window.partitionBy(*by_cols)
+    w_rank = w_part.orderBy(F.col(score_col).desc_nulls_last())
+    grp_n = F.count(score_col).over(w_part)
+    grp_rank = F.rank().over(w_rank)
+    return (
+        df.withColumn("grp_n", grp_n.cast("long"))
+        .withColumn("grp_rank", grp_rank.cast("long"))
+        .withColumn(
+            "keep_frac",
+            F.col(score_col).isNotNull()
+            & (
+                F.col("grp_rank")
+                <= F.ceil(F.col("grp_n") * F.lit(float(fraction)))
+            ),
+        )
+    )
 
 
 EmbedFn = Callable[["list[str]"], np.ndarray]

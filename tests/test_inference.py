@@ -382,3 +382,65 @@ def test_classify_rejects_wrong_class_count(spark):
     bad = classify_with_model(df, ["x"], m, ["only_one_label"])
     with pytest.raises(Exception, match="expected"):
         bad.collect()
+
+
+def test_top_fraction_by_hand_fixture(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction_by,
+    )
+
+    rows = [
+        # lang a: scores 9,7,7,3 -> n=4, k=ceil(2)=2, but the 7s TIE at
+        # the boundary (rank 2) so THREE rows keep
+        (1, "a", 9.0), (2, "a", 7.0), (3, "a", 7.0), (4, "a", 3.0),
+        # lang b: 5,1 -> n=2, k=1 -> only the 5 keeps
+        (5, "b", 5.0), (6, "b", 1.0),
+        # lang c: NULL scores never keep; n counts non-NULL only
+        (7, "c", 2.0), (8, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = {
+        r.doc_id: r
+        for r in keep_top_fraction_by(df, "s", "lang", 0.5).collect()
+    }
+    assert [out[i].keep_frac for i in range(1, 9)] == [
+        True, True, True, False, True, False, True, False,
+    ]
+    assert out[2].grp_rank == 2 and out[3].grp_rank == 2
+    assert out[8].grp_n == 1 and out[8].keep_frac is False
+
+
+def test_top_fraction_by_all_null_group_and_bounds(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None)], "doc_id long, lang string, s double"
+    )
+    out = keep_top_fraction_by(df, "s", "lang", 0.5)
+    assert [r.keep_frac for r in out.collect()] == [False, False]
+    with pytest.raises(ValueError):
+        keep_top_fraction_by(df, "s", "lang", 0.0)
+    with pytest.raises(ValueError):
+        keep_top_fraction_by(df, "s", "lang", 1.5)
+
+
+def test_top_fraction_by_one_exchange(spark):
+    from pulsarfeatureextractor_spark.functions.inference import (
+        keep_top_fraction_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "doc_id long, lang string, s double"
+    ).repartition(4)
+    plan = (
+        keep_top_fraction_by(df, "s", "lang", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows reuse ONE hash exchange on the group key (the
+    # repartition above is the input's own round-robin, not keyed)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
