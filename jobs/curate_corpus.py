@@ -191,6 +191,39 @@ def build_pipeline(spark, args):
     # the checkpoint, never re-drive the stage.
     filt = filt.localCheckpoint(eager=True)
     n_stage = filt.count()
+    n_nb_dropped = 0
+    if args.nb_keep_lang is not None:
+        # learned-langid gate (functions/nb.py): train multinomial NB
+        # on the corpus's own label column (one (label, token) count
+        # shuffle; bounded model grid), reclassify, keep docs the
+        # LEARNED model predicts as the target language — the CCNet
+        # posture where the noisy self-labels train the filter that
+        # then overrides them.  LEFT SEMI keeps the corpus side from
+        # ever widening.
+        from pulsarfeatureextractor_spark.functions.nb import (
+            classify_nb,
+            train_nb,
+        )
+
+        if args.nb_lang_col not in filt.columns:
+            raise SystemExit(
+                f"--nb-keep-lang needs column {args.nb_lang_col!r}"
+            )
+        model = train_nb(filt, args.text_col, args.nb_lang_col)
+        pred = classify_nb(
+            filt.select(args.id_col, args.text_col), model,
+            args.text_col, args.id_col,
+        )
+        filt = filt.join(
+            pred.where(F.col("nb_pred") == args.nb_keep_lang).select(
+                args.id_col
+            ),
+            [args.id_col],
+            "left_semi",
+        ).localCheckpoint(eager=True)
+        n_after = filt.count()
+        n_nb_dropped = n_stage - n_after
+        n_stage = n_after
     n_model_dropped = 0
     model_gate_on = (
         args.model_threshold is not None or args.model_percentile is not None
@@ -254,13 +287,39 @@ def build_pipeline(spark, args):
                 keep_top_fraction,
             )
 
-            print(
-                f"model gate: keep-top {args.model_percentile:.4f}",
-                file=sys.stderr,
-            )
-            kept = keep_top_fraction(
-                scored, "model_score", args.model_percentile
-            )
+            if args.model_percentile_by is not None:
+                # EXACT per-group variant (keep_top_fraction_by): the
+                # rank window costs the same one exchange the sketch
+                # pass would, boundary ties all kept, and low-resource
+                # groups are never starved by a global cutoff
+                from pulsarfeatureextractor_spark.functions.inference import (
+                    keep_top_fraction_by,
+                )
+
+                if args.model_percentile_by not in scored.columns:
+                    raise SystemExit(
+                        f"--model-percentile-by needs column "
+                        f"{args.model_percentile_by!r}"
+                    )
+                print(
+                    f"model gate: keep-top {args.model_percentile:.4f} "
+                    f"per {args.model_percentile_by}",
+                    file=sys.stderr,
+                )
+                kept = keep_top_fraction_by(
+                    scored, "model_score", args.model_percentile_by,
+                    args.model_percentile,
+                ).where(F.col("keep_frac")).drop(
+                    "grp_n", "grp_rank", "keep_frac"
+                )
+            else:
+                print(
+                    f"model gate: keep-top {args.model_percentile:.4f}",
+                    file=sys.stderr,
+                )
+                kept = keep_top_fraction(
+                    scored, "model_score", args.model_percentile
+                )
         else:
             kept = scored.where(F.col("model_score") >= args.model_threshold)
         filt = kept.drop(
@@ -467,8 +526,9 @@ def build_pipeline(spark, args):
             "docs_after_quality": n_filtered,
             "docs_canonical": n_canonical if n_canonical is not None else n_kept,
             "rows_out": n_kept,
-            "dropped_quality": n_in - n_filtered - n_model_dropped
-            - n_ppl_dropped - n_span_dropped,
+            "dropped_quality": n_in - n_filtered - n_nb_dropped
+            - n_model_dropped - n_ppl_dropped - n_span_dropped,
+            "dropped_langid": n_nb_dropped,
             "dropped_model": n_model_dropped,
             "dropped_perplexity": n_ppl_dropped,
             "dropped_repeated_spans": n_span_dropped,
@@ -504,6 +564,20 @@ def main(argv=None) -> dict:
                          "one-pass LPM of (source == SRC) on the quality "
                          "features replaces the injected model")
     ap.add_argument("--train-quality-source-col", default="source")
+    ap.add_argument("--model-percentile-by", default=None,
+                    help="group column for --model-percentile: keep the "
+                         "top P fraction PER GROUP (exact rank gate, "
+                         "inference.keep_top_fraction_by — the FineWeb-"
+                         "Edu keep-top-X%%-per-language posture) instead "
+                         "of one global sketch cutoff")
+    ap.add_argument("--nb-keep-lang", default=None,
+                    help="learned-langid gate (functions/nb.py): train a "
+                         "multinomial Naive Bayes on the corpus's own "
+                         "--nb-lang-col labels, reclassify every doc, "
+                         "keep only docs PREDICTED as this language "
+                         "(CCNet/fastText langid posture, fully "
+                         "in-engine)")
+    ap.add_argument("--nb-lang-col", default="lang")
     ap.add_argument("--train-l2", type=float, default=1e-6,
                     help="ridge strength for --train-quality-source")
     ap.add_argument("--boilerplate-ratio", default=None,
@@ -592,6 +666,9 @@ def main(argv=None) -> dict:
         0.0 < args.model_percentile < 1.0
     ):
         ap.error("--model-percentile must be in (0, 1)")
+    if args.model_percentile_by is not None and args.model_percentile is None:
+        ap.error("--model-percentile-by requires --model-percentile "
+                 "(it only changes the percentile gate's grouping)")
     if (args.train_quality_source is not None
             and args.model_threshold is None
             and args.model_percentile is None):

@@ -532,3 +532,72 @@ def test_curate_job_round5_stages(spark, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_curate_job_nb_langid_and_percentile_by(spark, tmp_path):
+    """--nb-keep-lang trains the NB langid in-engine and keeps only
+    docs PREDICTED as the target language (dropped_langid counts the
+    cut); --model-percentile-by applies the exact per-group rank gate
+    instead of the global sketch cutoff.  The lineage ledger still
+    sums to rows_out with both new stages on."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "cur_nb")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "5",
+        "--nb-keep-lang", "en",
+        "--model-percentile", "0.5",
+        "--model-percentile-by", "source",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    m = json.load(open(os.path.join(out, parts[0], "_lineage.json")))[
+        "metrics"
+    ]
+    # the planted corpus is majority-en; the learned gate must both
+    # keep a nontrivial en core and cut a nontrivial non-en share
+    assert m["dropped_langid"] > 0
+    assert m["docs_after_quality"] > 0
+    assert (
+        m["docs_in"] - m["dropped_quality"] - m["dropped_langid"]
+        - m["dropped_model"] - m["dropped_perplexity"]
+        - m["dropped_repeated_spans"] - m["dropped_dup"]
+        - m["dropped_dsir"]
+        == m["rows_out"]
+    )
+    # per-group gate kept ~half of each source's survivors (ties kept)
+    assert m["dropped_model"] > 0
+    # determinism: the same invocation reproduces the ledger exactly
+    res2 = curate_corpus.main([
+        "--input", src, "--output", str(tmp_path / "cur_nb2"),
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "5",
+        "--nb-keep-lang", "en",
+        "--model-percentile", "0.5",
+        "--model-percentile-by", "source",
+    ])
+    parts2 = [
+        p for p in os.listdir(str(tmp_path / "cur_nb2"))
+        if p.startswith("split=")
+    ]
+    m2 = json.load(
+        open(os.path.join(str(tmp_path / "cur_nb2"), parts2[0],
+                          "_lineage.json"))
+    )["metrics"]
+    assert m == m2
+
+
+def test_curate_job_percentile_by_requires_percentile(tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    with pytest.raises(SystemExit):
+        curate_corpus.main([
+            "--input", "/root/testdata/sf0.01/documents.parquet",
+            "--output", str(tmp_path / "z"),
+            "--model-percentile-by", "source",
+        ])
