@@ -67,12 +67,15 @@ HEADLINE = [
     "lm_perplexity_docs",          # CCNet-style bigram-LM perplexity
     "quality_regression_docs",     # in-engine model training (suff-stats fit)
     "unigram_train_tokenize_docs",  # unigram-LM tokenizer train + encode (r5)
+    "nb_classify_docs",            # in-engine NB train->classify loop (r5)
+    "top_fraction_by_docs",        # exact per-group top-fraction gate (r5)
     "pipeline_pointintime_features",  # flagship end-to-end
 ]
 
 # queries first tracked in round 5 — excluded from the r1-r4
 # comparable total (same self-interpreting-artifact rule as skew_big_*)
-R5_NEW = {"unigram_train_tokenize_docs"}
+R5_NEW = {"unigram_train_tokenize_docs", "nb_classify_docs",
+          "top_fraction_by_docs"}
 
 
 def _force(df) -> int:

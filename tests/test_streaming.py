@@ -289,3 +289,42 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     want = _canon(score_stream(static).toPandas())
     lr.unpersist()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
+    """NB classification of a STREAM against a pre-trained (static)
+    model table is a stream-static join + one streaming (doc, label)
+    aggregate — train on yesterday's labeled corpus, score today's
+    crawl as it lands.  (The final argmax joins an aggregate, which
+    streaming forbids mid-query — production runs it in foreachBatch
+    or downstream; the scoring kernel is what must match batch.)"""
+    from pulsarfeatureextractor_spark.functions.nb import train_nb, _words
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+    import pyspark.sql.functions as SF_
+
+    docs_dir = str(tmp_path / "docs_nb")
+    load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    ).coalesce(1).write.parquet(docs_dir)
+    static = spark.read.parquet(docs_dir)
+    model = train_nb(static, "text", "lang")
+    model.persist().count()  # pin the static model
+
+    def score_stream(df):
+        toks = _words(df, "text").select(
+            "doc_id", SF_.explode("__nb_ws").alias("token")
+        )
+        return toks.join(SF_.broadcast(model), "token").groupBy(
+            "doc_id", "label"
+        ).agg(
+            SF_.sum("log_cond").cast("double").alias("s"),
+            SF_.count(SF_.lit(1)).alias("n"),
+        )
+
+    stream = (spark.readStream.schema("doc_id long, text string, lang string")
+              .parquet(docs_dir))
+    got = _canon(_run(score_stream(stream), "t_nb", spark,
+                      str(tmp_path), mode="complete"))
+    want = _canon(score_stream(static).toPandas())
+    model.unpersist()
+    pd.testing.assert_frame_equal(got, want)
