@@ -2381,13 +2381,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     repeated_spans, gopher_rules, curation_v2 — take the seats of
     nine family-redundant rows (see the tail-boundary comment for the
     family-coverage argument per displaced row).  All nine displaced
+    rows remain oracle-checked in the tail.
+
+    Round-5c re-seat (final): nb_classify_docs (the in-engine NB
+    train->classify loop) and line_dedup_docs (RefinedWeb exact line
+    dedup) take the seats of rollup_lineitem_status (G3 family stays
+    tail-checked via grouping_sets_lineitem; hash aggregation is
+    everywhere in-window) and label_attach_docs (its broadcast equi
+    join is exercised in-window by revenue_by_nation).  Both displaced
     rows remain oracle-checked in the tail."""
     return {
         # ---- driver check window (50 entries, all oracle-gated) ----
         "pipeline_pointintime_features": pipeline_pointintime_features,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
-        "rollup_lineitem_status": rollup_lineitem_status,
+        # round-5c re-seat: the NB train->classify loop takes the G3
+        # seat (rollup stays tail-checked; grouping_sets_lineitem keeps
+        # the family under oracle in the tail)
+        "nb_classify_docs": nb_classify_docs,
         "topk_orders_per_segment": topk_orders_per_segment,
         "training_set_assembly_docs": training_set_assembly_docs,
         "grouped_moments_event_k": grouped_moments_event_k,
@@ -2409,7 +2420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "lyon_features_docs": lyon_features_docs,
         "pipeline_curation_docs": pipeline_curation_docs,
-        "label_attach_docs": label_attach_docs,
+        # round-5c re-seat: RefinedWeb line dedup takes the A10 seat
+        # (label_attach stays tail-checked; its broadcast equi join is
+        # exercised in-window by revenue_by_nation)
+        "line_dedup_docs": line_dedup_docs,
         "thornton_scores_docs": thornton_scores_docs,
         "subband_scores_docs": subband_scores_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
@@ -2522,17 +2536,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoothing; full SQL oracle with the pinned-parenthesization
         # float expression + decimal exact sums)
         "lm_kneser_ney_docs": lm_kneser_ney_docs,
-        # round-5: RefinedWeb exact line-level dedup (planted 3-token
-        # line segmentation; full SQL oracle) and C4 blocklist gate
-        # (scan-fused, full SQL oracle)
-        "line_dedup_docs": line_dedup_docs,
+        # round-5: C4 blocklist gate (scan-fused, full SQL oracle);
+        # line_dedup_docs holds a WINDOW seat (round-5c re-seat)
         "blocklist_filter_docs": blocklist_filter_docs,
-        # round-5: in-engine multinomial Naive Bayes train + classify
-        # (the discrete companion to quality_regression_docs' linear
-        # fit — the whole learned-classifier gate loop stays in-engine;
-        # full SQL oracles over exact-integer counts + decimal sums)
+        # round-5: in-engine multinomial Naive Bayes training (the
+        # model grid; the train->classify loop nb_classify_docs holds
+        # a WINDOW seat — round-5c re-seat)
         "nb_train_docs": nb_train_docs,
-        "nb_classify_docs": nb_classify_docs,
+        # round-5c re-seat: displaced window rows, still oracle-checked
+        # here in the tail
+        "rollup_lineitem_status": rollup_lineitem_status,
+        "label_attach_docs": label_attach_docs,
         # round-5: exact per-group top-fraction gate (FineWeb-Edu
         # keep-top-X%-per-language; rank-based, ties kept, one
         # exchange; full SQL oracle)

@@ -103,3 +103,22 @@ def test_blocklist_scan_fused_plan(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_paragraph_dedup_via_sep(spark):
+    """Dolma-style paragraph dedup is line_dedup with sep='\\n\\n' —
+    the separator is a first-class parameter, so the same single
+    -aggregate plan covers both granularities."""
+    df = spark.createDataFrame(
+        [
+            (1, "para one\nwraps\n\nshared para"),
+            (2, "shared para\n\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(line_dedup(df, sep="\n\n"))
+    # 'shared para' appears in both docs -> removed from both; the
+    # intra-paragraph newline is NOT a boundary at this granularity
+    assert out[1]["clean_text"] == "para one\nwraps"
+    assert out[2]["clean_text"] == "unique tail"
+    assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
