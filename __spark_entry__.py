@@ -2272,6 +2272,23 @@ def blocklist_filter_docs(spark, sf):
     )
 
 
+def tokenizer_eval_docs(spark, sf):
+    """Tokenizer EVALUATION closing the train -> encode -> eval loop
+    (functions/unigram.tokenizer_eval): per-language fertility,
+    chars-per-token, and UNK rate of the trained unigram-LM tokenizer
+    — the metrics SentencePiece/BPE papers report.  One Arrow crossing
+    (the encode), scan-fused JVM metric expressions (vocab rides as a
+    literal array), ONE group-key aggregate.  Oracle: VALUES literal
+    from the independent pure-python twin aggregated per lang
+    (tools/gen_value_oracles.gen_tokenizer_eval)."""
+    from pulsarfeatureextractor_spark.functions.unigram import (
+        tokenizer_eval,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return tokenizer_eval(d, _unigram_model_for(spark, sf))
+
+
 def nb_train_docs(spark, sf):
     """In-engine multinomial Naive Bayes TRAINING (functions/nb.py,
     McCallum & Nigam 1998): the model table learned from the labeled
@@ -2543,6 +2560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model grid; the train->classify loop nb_classify_docs holds
         # a WINDOW seat — round-5c re-seat)
         "nb_train_docs": nb_train_docs,
+        # round-5: tokenizer evaluation (fertility / chars-per-token /
+        # unk-rate per lang; twin VALUES oracle)
+        "tokenizer_eval_docs": tokenizer_eval_docs,
         # round-5c re-seat: displaced window rows, still oracle-checked
         # here in the tail
         "rollup_lineitem_status": rollup_lineitem_status,

@@ -74,6 +74,7 @@ __all__ = [
     "train_unigram",
     "unigram_encode",
     "unigram_model_table",
+    "tokenizer_eval",
     "viterbi_segment",
     "UNK_LOGP",
 ]
@@ -309,4 +310,89 @@ def unigram_model_table(
     artifact (SentencePiece-model-shaped: piece + score)."""
     return spark.createDataFrame(
         list(model), "piece string, logp double"
+    )
+
+
+def tokenizer_eval(
+    df: DataFrame,
+    model: "list[tuple[str, float]] | dict[str, float]",
+    text_col: str = "text",
+    by: str = "lang",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Per-group tokenizer QUALITY metrics for a trained subword model
+    — the standard evaluation loop closing train -> encode -> eval
+    (SentencePiece/BPE papers report exactly these): per ``by`` group,
+
+      n_docs, n_words (whitespace words), n_tokens (subword pieces),
+      n_unk (pieces NOT in the model vocabulary — the single-char
+      fallbacks the encoder emits for uncovered characters),
+      fertility        = round(n_tokens / n_words, 6)   (lower=better)
+      chars_per_token  = round(sum(len(piece)) / n_tokens, 6)
+      unk_rate         = round(n_unk / n_tokens, 6)
+
+    Character count is the sum of PIECE lengths (pieces partition each
+    word exactly, so this equals the group's in-word character mass —
+    whitespace never counts, pinned).  Zero-token groups emit NULL
+    ratios instead of dividing by zero (ANSI-safe).
+
+    Plan shape / 100 TB posture: one Arrow crossing (the encode), then
+    scan-fused JVM expressions (the vocabulary rides the plan as a
+    literal array — vocab_size-bounded by construction) and ONE hash
+    aggregate on the group key.  Float discipline: every metric is a
+    single division of exact integers rounded 6dp — identical doubles
+    in any engine.
+    """
+    logp = dict(model)
+    vocab = sorted(logp)
+    enc = unigram_encode(
+        df, model, text_col=text_col, max_piece_len=max_piece_len
+    )
+    toks = F.col("unigram_tokens")
+    n_words = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: w != F.lit(""),
+        )
+    )
+    n_unk = F.size(F.filter(toks, lambda t: ~t.isin(vocab)))
+    n_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    agg = (
+        enc.select(
+            F.col(by),
+            n_words.alias("__w"),
+            F.col("n_unigram").alias("__t"),
+            n_unk.alias("__u"),
+            n_chars.alias("__c"),
+        )
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__t").alias("n_tokens"),
+            F.sum("__u").alias("n_unk"),
+            F.sum("__c").alias("__chars"),
+        )
+    )
+    nz = F.col("n_tokens") > 0
+    return agg.select(
+        by,
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_unk",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(nz, F.round(F.col("__chars") / F.col("n_tokens"), 6)).alias(
+            "chars_per_token"
+        ),
+        F.when(nz, F.round(F.col("n_unk") / F.col("n_tokens"), 6)).alias(
+            "unk_rate"
+        ),
     )

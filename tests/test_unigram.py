@@ -141,3 +141,55 @@ def test_encode_plan_single_arrow_crossing_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_tokenizer_eval_metrics_and_unk(spark):
+    """tokenizer_eval: fertility/chars-per-token/unk-rate per group
+    with exact integer counts, UNK = pieces outside the model
+    vocabulary (an unseen character segments to a single-char
+    fallback piece), NULL-safe ratios."""
+    from pulsarfeatureextractor_spark.functions.unigram import (
+        tokenizer_eval,
+    )
+
+    d = _docs(spark)
+    model = train_unigram(d, **PARAMS)
+    vocab = {p for p, _ in model}
+    # evaluate on a corpus containing a character the model never saw
+    ev = spark.createDataFrame(
+        [(1, "low lower", "a"), (2, "low Z", "b"), (3, None, "b")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in tokenizer_eval(ev, model).collect()}
+    # twin-compute group a
+    toks_a = []
+    logp = dict(model)
+    for w in ["low", "lower"]:
+        toks_a.extend(_uni_twin_viterbi(w, logp, PARAMS["max_piece_len"]))
+    assert out["a"].n_words == 2 and out["a"].n_tokens == len(toks_a)
+    assert out["a"].fertility == round(len(toks_a) / 2, 6)
+    assert out["a"].chars_per_token == round(
+        sum(len(p) for p in toks_a) / len(toks_a), 6
+    )
+    assert out["a"].n_unk == 0 and out["a"].unk_rate == 0.0
+    # group b: 'Z' is unseen -> single-char fallback NOT in the vocab
+    assert "Z" not in vocab
+    assert out["b"].n_unk >= 1 and out["b"].unk_rate > 0.0
+    # NULL text contributes zero words/tokens but counts as a doc
+    assert out["b"].n_docs == 2
+
+
+def test_tokenizer_eval_zero_token_group_null_ratios(spark):
+    from pulsarfeatureextractor_spark.functions.unigram import (
+        tokenizer_eval,
+    )
+
+    model = train_unigram(_docs(spark), **PARAMS)
+    ev = spark.createDataFrame(
+        [(1, "", "empty"), (2, None, "empty")],
+        "doc_id long, text string, lang string",
+    )
+    row = tokenizer_eval(ev, model).collect()[0]
+    assert row.n_tokens == 0 and row.n_words == 0 and row.n_docs == 2
+    assert row.fertility is None
+    assert row.chars_per_token is None and row.unk_rate is None

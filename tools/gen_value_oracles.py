@@ -871,6 +871,47 @@ def gen_unigram_tokenize(ids, texts) -> str:
     )
 
 
+def gen_tokenizer_eval(ids, texts) -> str:
+    """Twin of functions/unigram.tokenizer_eval over the sf0.01 corpus
+    grouped by lang: per-group fertility / chars-per-token / unk-rate
+    from the SAME twin tokenization as gen_unigram_tokenize, with the
+    ratio rounding mirroring Spark's HALF_UP round(x, 6)."""
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "lang"])
+    lang_of = dict(zip(t.column("doc_id").to_pylist(),
+                       t.column("lang").to_pylist()))
+    model = _uni_twin_train(texts)
+    logp = dict(model)
+    vocab = set(logp)
+    agg: dict[str, list[int]] = {}
+    for did, txt in zip(ids, texts):
+        words = [w for w in (txt or "").split(" ") if w]
+        toks = []
+        for w in words:
+            toks.extend(_uni_twin_viterbi(w, logp, 4))
+        g = agg.setdefault(lang_of[did], [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += len(words)
+        g[2] += len(toks)
+        g[3] += sum(1 for p in toks if p not in vocab)
+        g[4] += sum(len(p) for p in toks)
+    rows = []
+    for lang in sorted(agg):
+        nd, nw, nt, nu, nc = agg[lang]
+        fert = repr(spark_round6(nt / nw)) if nw else "NULL"
+        cpt = repr(spark_round6(nc / nt)) if nt else "NULL"
+        unk = repr(spark_round6(nu / nt)) if nt else "NULL"
+        rows.append((_sql_str(lang), str(nd), str(nw), str(nt), str(nu),
+                     fert, cpt, unk))
+    return _values_sql(
+        rows,
+        [("lang", "VARCHAR"), ("n_docs", "BIGINT"), ("n_words", "BIGINT"),
+         ("n_tokens", "BIGINT"), ("n_unk", "BIGINT"),
+         ("fertility", "DOUBLE"), ("chars_per_token", "DOUBLE"),
+         ("unk_rate", "DOUBLE")],
+    )
+
+
 def main() -> None:
     ids, texts = load_docs()
     oracles = {
@@ -893,6 +934,7 @@ def main() -> None:
         "bpe_train_tokenize_docs": gen_bpe_tokenize(ids, texts),
         "unigram_vocab_docs": gen_unigram_vocab(ids, texts),
         "unigram_train_tokenize_docs": gen_unigram_tokenize(ids, texts),
+        "tokenizer_eval_docs": gen_tokenizer_eval(ids, texts),
         "wordpiece_merges_docs": gen_wordpiece_merges(ids, texts),
         "wordpiece_train_tokenize_docs": gen_wordpiece_tokenize(ids, texts),
     }
