@@ -2272,6 +2272,36 @@ def blocklist_filter_docs(spark, sf):
     )
 
 
+def minhash_dedup_against_docs(spark, sf):
+    """Cross-corpus NEAR-duplicate dedup (operators/dedup.
+    minhash_dedup_against): docs with doc_id % 3 == 0 are the
+    already-ingested corpus, materialized once as a band_hash-BUCKETED
+    MinHash index (prepare_minhash_reference — the fuzzy companion of
+    the digest-bucketed exact tier); the rest are the new crawl,
+    which alone shuffles.  Survivors = crawl docs with no reference
+    neighbour at estimated Jaccard >= 0.5.  Oracle: VALUES from the
+    pure-python XXH64-port twin replaying the full index+probe chain
+    (tools/gen_value_oracles.gen_minhash_dedup_against)."""
+    import tempfile
+    import uuid
+
+    from pulsarfeatureextractor_spark.operators.dedup import (
+        minhash_dedup_against,
+        prepare_minhash_reference,
+    )
+
+    d = load_table(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 3 == 0)
+    crawl = d.where(F.col("doc_id") % 3 != 0)
+    name = f"mh_ref_{uuid.uuid4().hex[:8]}"
+    prepare_minhash_reference(
+        ref, name, tempfile.mkdtemp(prefix="mh_ref_") + "/t", n_buckets=8
+    )
+    return minhash_dedup_against(crawl, name, threshold=0.5).select(
+        "doc_id", "n_chars"
+    )
+
+
 def tokenizer_eval_docs(spark, sf):
     """Tokenizer EVALUATION closing the train -> encode -> eval loop
     (functions/unigram.tokenizer_eval): per-language fertility,
@@ -2563,6 +2593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: tokenizer evaluation (fertility / chars-per-token /
         # unk-rate per lang; twin VALUES oracle)
         "tokenizer_eval_docs": tokenizer_eval_docs,
+        # round-5: cross-corpus NEAR-dup dedup against a bucketed
+        # MinHash index (fuzzy companion of dedup_against_docs; twin
+        # VALUES oracle over the full index+probe chain)
+        "minhash_dedup_against_docs": minhash_dedup_against_docs,
         # round-5c re-seat: displaced window rows, still oracle-checked
         # here in the tail
         "rollup_lineitem_status": rollup_lineitem_status,

@@ -300,6 +300,33 @@ def minhash_signatures(
     ).withColumn("signature", mh(F.col("__sh"))).drop("__sh")
 
 
+def banded_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature, band, band_hash) — the LSH banding shared by
+    within-corpus pair generation (``minhash_lsh_pairs``) and the
+    cross-corpus reference index (``prepare_minhash_reference``).
+    band_hash = xxhash64(band, signature[band-slice])."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sig.select(F.col(id_col), F.col("signature"), band_idx).select(
+        F.col(id_col),
+        F.col("signature"),
+        F.col("band"),
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("signature"), F.col("band") * rows + 1, rows),
+        ).alias("band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -312,19 +339,7 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs (id_a < id_b) with estimated
     Jaccard >= threshold.  rows_per_band = num_perm // bands."""
     assert num_perm % bands == 0
-    rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select(F.col(id_col), F.col("signature"), band_idx).select(
-        F.col(id_col),
-        F.col("signature"),
-        F.col("band"),
-        F.xxhash64(
-            F.col("band"),
-            F.slice(F.col("signature"), F.col("band") * rows + 1, rows),
-        ).alias("band_hash"),
-    )
+    banded = banded_minhash(df, text_col, id_col, num_perm, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -548,3 +563,112 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prepare_minhash_reference(
+    reference: DataFrame,
+    name: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 32,
+    overwrite: bool = False,
+) -> str:
+    """Materialize the ingested corpus's BANDED MinHash index as a
+    band_hash-bucketed storage table — the FUZZY companion of
+    ``prepare_digest_reference``: dedup every future crawl against the
+    existing corpus at near-duplicate (not byte-exact) granularity,
+    shuffling only the new side.
+
+    Stored columns: (band, band_hash, ref_id, signature).  The
+    signature rides along so the probe can verify estimated Jaccard
+    without a second lookup.  Bucketing on ``band_hash`` lets the
+    bucketed scan report its hash partitioning to Catalyst, so the
+    candidate join plans with no Exchange above the reference scan
+    (the dedup_against_bucketed posture); appending a new crawl later
+    is INSERT INTO the same table.
+    """
+    banded = banded_minhash(
+        reference, text_col, id_col, num_perm, bands, shingle_n
+    ).select(
+        "band", "band_hash",
+        F.col(id_col).alias("ref_id"),
+        "signature",
+    )
+    spark = reference.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    from ..fsutil import ensure_empty_dir
+
+    ensure_empty_dir(spark, path, overwrite, "prepare_minhash_reference")
+    (
+        banded.repartition(n_buckets, F.col("band_hash"))
+        .write.bucketBy(n_buckets, "band_hash")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return name
+
+
+def minhash_dedup_against(
+    df: DataFrame,
+    ref_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate dedup: drop every new-crawl doc
+    whose estimated Jaccard against ANY reference doc (via the
+    ``prepare_minhash_reference`` index) reaches ``threshold``; the
+    exact-digest twin is ``dedup_against_bucketed``.
+
+    Banding parameters must match the ones the index was built with
+    (same num_perm/bands/shingle_n — band_hash values are only
+    comparable under identical banding).
+
+    Plan shape / 100 TB posture: the crawl side computes signatures
+    (one Arrow crossing), explodes to bands and joins the bucketed
+    index on ``band_hash`` ALONE — the bucket key, so the bucketed
+    scan satisfies the join's distribution natively and ONLY the new
+    side shuffles (joining on (band, band_hash) would demand a
+    two-key partitioning the bucket layout cannot provide and
+    re-shuffle the reference; ``band`` is an INPUT of band_hash =
+    xxhash64(band, slice), so the single-key join differs only on
+    2^-64 xxhash collisions, and even those must still pass the
+    est-Jaccard verification computed on the FULL signatures).
+    Candidates verify est-Jaccard from the two signatures already in
+    hand (no second join), collapse to a distinct matched-id set, and
+    a LEFT ANTI keeps survivors.  The reference never re-shuffles;
+    its layout cost is amortized across every future crawl.
+    """
+    spark = df.sparkSession
+    ref = spark.table(ref_table)
+    probe = banded_minhash(df, text_col, id_col, num_perm, bands, shingle_n)
+    est = F.aggregate(
+        F.zip_with(
+            "signature", "ref_sig",
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+    matched = (
+        probe.drop("band").join(
+            ref.select(
+                "band_hash", "ref_id",
+                F.col("signature").alias("ref_sig"),
+            ),
+            ["band_hash"],
+        )
+        .dropDuplicates([id_col, "ref_id"])
+        .where(est >= F.lit(float(threshold)))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(matched, [id_col], "left_anti")

@@ -108,3 +108,94 @@ def test_incremental_append_maintains_layout(spark, corpora, ref_table):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("Exchange") == 1, plan
+
+
+# ---- fuzzy tier: MinHash index + near-dup dedup_against ----------------
+
+from pulsarfeatureextractor_spark.operators.dedup import (  # noqa: E402
+    minhash_dedup_against,
+    prepare_minhash_reference,
+)
+
+
+def _fuzzy_corpora(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    ingested = spark.createDataFrame(
+        [(i, base + f" variant {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [
+            # near-dup of the ingested family (one-token difference)
+            (100, base + " variant 999"),
+            # unrelated document — must survive
+            (101, "completely different content about spark bucketed "
+                  "join physical plans and shuffle elimination at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    return ingested, crawl
+
+
+@pytest.fixture(scope="module")
+def mh_ref_table(spark, tmp_path_factory):
+    ingested, _ = _fuzzy_corpora(spark)
+    path = str(tmp_path_factory.mktemp("mh_ref") / "tbl")
+    return prepare_minhash_reference(
+        ingested, "mh_ref_test_tbl", path, n_buckets=8
+    )
+
+
+def test_fuzzy_drops_neardup_keeps_unrelated(spark, mh_ref_table):
+    _, crawl = _fuzzy_corpora(spark)
+    out = minhash_dedup_against(crawl, mh_ref_table, threshold=0.5)
+    assert [r.doc_id for r in out.collect()] == [101]
+
+
+def test_fuzzy_threshold_one_keeps_non_identical(spark, mh_ref_table):
+    # at threshold 1.0 only (near-)identical signatures drop; the
+    # one-token variant's signature differs in >0 of 64 slots
+    _, crawl = _fuzzy_corpora(spark)
+    out = minhash_dedup_against(crawl, mh_ref_table, threshold=1.0)
+    assert sorted(r.doc_id for r in out.collect()) == [100, 101]
+
+
+def test_fuzzy_reference_never_reshuffles(spark, mh_ref_table):
+    """The at-scale plan pin: bucketed scan on the reference feeds the
+    candidate join directly (join key == bucket key band_hash); no
+    Exchange above the reference scan, no broadcast."""
+    _, crawl = _fuzzy_corpora(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = minhash_dedup_against(crawl, mh_ref_table, threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    # no exchange keyed on the reference's output: every Exchange in
+    # the plan is on the probe/candidate side (band_hash or doc_id)
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("ref_" not in k or "doc_id" in k for k in keys), keys
+    assert sum("band_hash" in k for k in keys) == 1, keys  # probe only
+
+
+def test_fuzzy_incremental_insert(spark, mh_ref_table):
+    """INSERT INTO maintains the index: after appending the unrelated
+    crawl doc's bands, a re-probe drops it too."""
+    _, crawl = _fuzzy_corpora(spark)
+    from pulsarfeatureextractor_spark.operators.dedup import banded_minhash
+
+    extra = banded_minhash(
+        crawl.where(F.col("doc_id") == 101), "text", "doc_id"
+    ).select(
+        "band", "band_hash",
+        F.col("doc_id").alias("ref_id"),
+        "signature",
+    )
+    extra.write.insertInto("mh_ref_test_tbl")
+    out = minhash_dedup_against(crawl, mh_ref_table, threshold=0.5)
+    assert out.count() == 0

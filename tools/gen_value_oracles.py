@@ -871,6 +871,44 @@ def gen_unigram_tokenize(ids, texts) -> str:
     )
 
 
+def gen_minhash_dedup_against(ids, texts, num_perm=64, bands=16,
+                              threshold=0.5) -> str:
+    """Twin of operators/dedup.minhash_dedup_against with the driver
+    query's corpus split (doc_id % 3 == 0 is the ingested reference,
+    the rest the new crawl): a new doc is dropped iff some reference
+    doc shares a band AND the signature-estimated Jaccard reaches the
+    threshold; survivors listed with n_chars."""
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    n_chars_of = dict(zip(t.column("doc_id").to_pylist(),
+                          t.column("n_chars").to_pylist()))
+    sigs = _minhash_signatures(texts, num_perm=num_perm)
+    rows_per = num_perm // bands
+    ref_buckets: dict = {}
+    for k, did in enumerate(ids):
+        if did % 3 == 0:
+            for bnd in range(bands):
+                key = (bnd, tuple(sigs[k][bnd * rows_per:(bnd + 1) * rows_per]))
+                ref_buckets.setdefault(key, []).append(k)
+    survivors = []
+    for k, did in enumerate(ids):
+        if did % 3 == 0:
+            continue
+        cands: set = set()
+        for bnd in range(bands):
+            key = (bnd, tuple(sigs[k][bnd * rows_per:(bnd + 1) * rows_per]))
+            cands.update(ref_buckets.get(key, ()))
+        dropped = any(
+            float((sigs[k] == sigs[r]).sum()) / num_perm >= threshold
+            for r in cands
+        )
+        if not dropped:
+            survivors.append((did, n_chars_of[did]))
+    survivors.sort()
+    rows = [(str(d), str(nc)) for d, nc in survivors]
+    return _values_sql(rows, [("doc_id", "BIGINT"), ("n_chars", "BIGINT")])
+
+
 def gen_tokenizer_eval(ids, texts) -> str:
     """Twin of functions/unigram.tokenizer_eval over the sf0.01 corpus
     grouped by lang: per-group fertility / chars-per-token / unk-rate
@@ -935,6 +973,7 @@ def main() -> None:
         "unigram_vocab_docs": gen_unigram_vocab(ids, texts),
         "unigram_train_tokenize_docs": gen_unigram_tokenize(ids, texts),
         "tokenizer_eval_docs": gen_tokenizer_eval(ids, texts),
+        "minhash_dedup_against_docs": gen_minhash_dedup_against(ids, texts),
         "wordpiece_merges_docs": gen_wordpiece_merges(ids, texts),
         "wordpiece_train_tokenize_docs": gen_wordpiece_tokenize(ids, texts),
     }
