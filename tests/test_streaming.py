@@ -328,3 +328,29 @@ def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
     want = _canon(score_stream(static).toPandas())
     model.unpersist()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_against_matches_batch(spark, tmp_path):
+    """Cross-corpus exact dedup of a STREAM against the static digest
+    reference is a stream-static LEFT ANTI join — dedup today's crawl
+    against the ingested corpus as it lands.  availableNow replay
+    equals the batch anti join row-for-row."""
+    from pulsarfeatureextractor_spark.operators.dedup import dedup_against
+    from pulsarfeatureextractor_spark.sources.readers import load_table
+
+    docs_dir = str(tmp_path / "docs_dd")
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    # reference = every third doc's text; the stream replays ALL docs
+    ref = d.where(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text")).alias("digest")
+    )
+    ref.persist().count()
+    d.coalesce(1).write.parquet(docs_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(docs_dir))
+    got = _canon(_run(dedup_against(stream, ref), "t_dd", spark,
+                      str(tmp_path)))
+    want = _canon(dedup_against(spark.read.parquet(docs_dir), ref).toPandas())
+    ref.unpersist()
+    pd.testing.assert_frame_equal(got, want)
