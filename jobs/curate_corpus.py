@@ -107,6 +107,27 @@ def build_pipeline(spark, args):
 
     n_in = docs.count()
 
+    n_ingested_dropped = 0
+    if args.dedup_against is not None:
+        # incremental-crawl posture: drop docs whose RAW text already
+        # exists verbatim in the ingested corpus BEFORE any curation
+        # spend or text rewrite (digests must match the reference's
+        # raw text).  The reference is a parquet of digests (a
+        # `digest` column) or raw text (--dedup-against-text-col);
+        # at 100 TB point this at a prepare_digest_reference bucketed
+        # table instead so only the crawl side shuffles.
+        from pulsarfeatureextractor_spark.operators.dedup import (
+            dedup_against,
+        )
+
+        ref = spark.read.parquet(args.dedup_against)
+        docs = dedup_against(
+            docs, ref, args.text_col,
+            ref_col=args.dedup_against_text_col,
+        ).localCheckpoint(eager=True)
+        n_after = docs.count()
+        n_ingested_dropped = n_in - n_after
+
     if args.boilerplate_ratio is not None:
         # corpus-level cleaning BEFORE any filtering: drop tokens
         # present in >= num/den of all documents (C4-style,
@@ -526,8 +547,10 @@ def build_pipeline(spark, args):
             "docs_after_quality": n_filtered,
             "docs_canonical": n_canonical if n_canonical is not None else n_kept,
             "rows_out": n_kept,
-            "dropped_quality": n_in - n_filtered - n_nb_dropped
-            - n_model_dropped - n_ppl_dropped - n_span_dropped,
+            "dropped_ingested": n_ingested_dropped,
+            "dropped_quality": n_in - n_ingested_dropped - n_filtered
+            - n_nb_dropped - n_model_dropped - n_ppl_dropped
+            - n_span_dropped,
             "dropped_langid": n_nb_dropped,
             "dropped_model": n_model_dropped,
             "dropped_perplexity": n_ppl_dropped,
@@ -623,6 +646,16 @@ def main(argv=None) -> dict:
                     help="distinct Gopher stopwords required (paper "
                          "default 2; lower for corpora whose "
                          "vocabulary misses the English list)")
+    ap.add_argument("--dedup-against", default=None,
+                    help="parquet path of the already-ingested corpus's "
+                         "digest set (a 'digest' column, e.g. exact_dedup "
+                         "output) — crawl docs whose raw text digest "
+                         "already exists there are dropped FIRST "
+                         "(incremental-crawl cross-corpus dedup; counted "
+                         "as dropped_ingested)")
+    ap.add_argument("--dedup-against-text-col", default=None,
+                    help="treat --dedup-against as raw text and digest "
+                         "this column of it instead")
     ap.add_argument("--line-dedup-min-count", type=int, default=None,
                     help="RefinedWeb exact line-level dedup: rewrite "
                          "each document removing every occurrence of "

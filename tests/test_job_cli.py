@@ -601,3 +601,44 @@ def test_curate_job_percentile_by_requires_percentile(tmp_path):
             "--output", str(tmp_path / "z"),
             "--model-percentile-by", "source",
         ])
+
+
+def test_curate_job_dedup_against_stage(spark, tmp_path):
+    """--dedup-against: crawl docs whose raw text already exists in
+    the ingested digest set are dropped FIRST and counted as
+    dropped_ingested; the ledger still sums to rows_out."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    # ingested reference = digests of every doc with doc_id < 250
+    ref_path = str(tmp_path / "ingested_digests")
+    (
+        spark.read.parquet(src)
+        .where(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .write.parquet(ref_path)
+    )
+    out = str(tmp_path / "cur_dd")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "5",
+        "--dedup-against", ref_path,
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    m = json.load(open(os.path.join(out, parts[0], "_lineage.json")))[
+        "metrics"
+    ]
+    # every doc_id < 250 is digested in the reference -> all dropped
+    assert m["dropped_ingested"] >= 250
+    assert (
+        m["docs_in"] - m["dropped_ingested"] - m["dropped_quality"]
+        - m["dropped_langid"] - m["dropped_model"]
+        - m["dropped_perplexity"] - m["dropped_repeated_spans"]
+        - m["dropped_dup"] - m["dropped_dsir"]
+        == m["rows_out"]
+    )
