@@ -99,6 +99,14 @@ def train_nb(
         raise ValueError(f"alpha must be a positive integer, got {alpha!r}")
     alpha = int(alpha)
 
+    # Unlabeled rows are EXCLUDED from training entirely (standard
+    # supervised semantics).  Without this filter they would silently
+    # inflate the prior denominator while forming no class (the
+    # NULL-label grid rows drop at the priors equi-join), leaving
+    # priors that do not sum to 1 — pinned by
+    # tests/test_nb.py::test_null_labels_excluded.
+    train_df = train_df.where(F.col(label_col).isNotNull())
+
     toks = _words(train_df, text_col).select(
         F.col(label_col).alias("label"), F.explode(_WS).alias("token")
     )

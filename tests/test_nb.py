@@ -139,3 +139,27 @@ def test_no_python_in_plans(spark):
     for frame in (model, classify_nb(df, model)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan  # pure JVM end-to-end
+
+
+def test_null_labels_excluded(spark):
+    """Unlabeled (NULL-label) rows contribute NOTHING to training —
+    no class, no vocabulary, no prior mass.  Before the fix they
+    inflated the prior denominator while forming no class (NULL-label
+    grid rows dropped at the priors equi-join), so priors no longer
+    summed to 1."""
+    rows = [
+        (1, "a b", "en"), (2, "a q", None), (3, "b c", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = train_nb(df, "text", "lang")
+    vocab = {r.token for r in m.collect()}
+    assert "q" not in vocab  # unlabeled doc's token never enters V
+    priors = {
+        r.label: float(r.log_prior)
+        for r in m.select("label", "log_prior").distinct().collect()
+    }
+    # two labeled docs -> each prior ln(1/2), summing to 1
+    assert priors == {
+        "en": round(math.log(1 / 2), 9),
+        "fr": round(math.log(1 / 2), 9),
+    }
