@@ -163,3 +163,15 @@ def test_null_labels_excluded(spark):
         "en": round(math.log(1 / 2), 9),
         "fr": round(math.log(1 / 2), 9),
     }
+
+
+def test_empty_training_degrades_gracefully(spark):
+    """An empty (or fully filtered-out) training stage yields an empty
+    model; classification against it returns zero rows (no priors to
+    attach), so a CLI semi-join gate keeps nothing instead of
+    crashing."""
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    m = train_nb(empty, "text", "lang")
+    assert m.count() == 0
+    some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert classify_nb(some, m).count() == 0
