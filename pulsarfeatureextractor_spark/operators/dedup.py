@@ -610,6 +610,15 @@ def prepare_minhash_reference(
         .option("path", path)
         .saveAsTable(name)
     )
+    # Record the banding in table properties: a probe run with
+    # different banding would produce band_hash values that simply
+    # never match — silently deduping NOTHING.  minhash_dedup_against
+    # verifies these and refuses a mismatched probe.
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES ("
+        f"'mh.num_perm'='{num_perm}', 'mh.bands'='{bands}', "
+        f"'mh.shingle_n'='{shingle_n}')"
+    )
     return name
 
 
@@ -649,6 +658,20 @@ def minhash_dedup_against(
     """
     spark = df.sparkSession
     ref = spark.table(ref_table)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {ref_table}").collect()
+    }
+    want = {"mh.num_perm": num_perm, "mh.bands": bands,
+            "mh.shingle_n": shingle_n}
+    for key, val in want.items():
+        if key in props and props[key] != str(val):
+            raise ValueError(
+                f"banding mismatch vs index {ref_table}: {key}="
+                f"{props[key]} in the index, {val} in the probe — "
+                f"band_hash values would never match and NOTHING "
+                f"would dedup"
+            )
     probe = banded_minhash(df, text_col, id_col, num_perm, bands, shingle_n)
     est = F.aggregate(
         F.zip_with(

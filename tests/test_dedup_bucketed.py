@@ -199,3 +199,12 @@ def test_fuzzy_incremental_insert(spark, mh_ref_table):
     extra.write.insertInto("mh_ref_test_tbl")
     out = minhash_dedup_against(crawl, mh_ref_table, threshold=0.5)
     assert out.count() == 0
+
+
+def test_fuzzy_banding_mismatch_refused(spark, mh_ref_table):
+    """A probe with different banding parameters would produce
+    band_hash values that never match the index — silently deduping
+    nothing; the recorded TBLPROPERTIES make it an explicit error."""
+    _, crawl = _fuzzy_corpora(spark)
+    with pytest.raises(ValueError, match="banding mismatch"):
+        minhash_dedup_against(crawl, mh_ref_table, num_perm=32, bands=8)
