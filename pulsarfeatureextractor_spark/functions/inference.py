@@ -340,6 +340,15 @@ def keep_top_fraction_by(
     window frames reuse that partitioning.  The caller filters on
     ``keep_frac`` (flag style, like gopher_rules / blocklist_filter,
     so lineage ledgers can count drops).
+
+    The cutoff is literally ``ceil(grp_n * fraction)`` in IEEE double
+    arithmetic — for fractions with no exact binary representation
+    the product can land one ulp above the true value and admit one
+    extra rank at pathological (n, fraction) pairs.  Deterministic,
+    and identical in any engine evaluating the same expression (the
+    differential oracle mirrors it verbatim), but callers wanting an
+    exact rational cutoff should pass fraction as a dyadic (0.5,
+    0.25, ...) or pre-compute k themselves.
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
