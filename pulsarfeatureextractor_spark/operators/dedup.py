@@ -665,7 +665,16 @@ def minhash_dedup_against(
     want = {"mh.num_perm": num_perm, "mh.bands": bands,
             "mh.shingle_n": shingle_n}
     for key, val in want.items():
-        if key in props and props[key] != str(val):
+        if key not in props:
+            # absent properties (stripped by a metastore copy/CTAS, or
+            # a table not built by prepare_minhash_reference) are the
+            # SAME silent-dedup-nothing hazard — refuse, don't assume
+            raise ValueError(
+                f"index {ref_table} lacks banding property {key}; "
+                f"rebuild it with prepare_minhash_reference (a probe "
+                f"against unknown banding silently dedups nothing)"
+            )
+        if props[key] != str(val):
             raise ValueError(
                 f"banding mismatch vs index {ref_table}: {key}="
                 f"{props[key]} in the index, {val} in the probe — "
@@ -681,6 +690,11 @@ def minhash_dedup_against(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(num_perm))
+    # No (id, ref_id) pre-dedup: a pair surfacing from several shared
+    # bands carries the SAME est (it is a function of the two full
+    # signatures), so filtering first and distinct-ing only the
+    # surviving probe ids avoids a redundant corpus-scale exchange on
+    # (id, ref_id) with both signature arrays in tow.
     matched = (
         probe.drop("band").join(
             ref.select(
@@ -689,7 +703,6 @@ def minhash_dedup_against(
             ),
             ["band_hash"],
         )
-        .dropDuplicates([id_col, "ref_id"])
         .where(est >= F.lit(float(threshold)))
         .select(id_col)
         .distinct()

@@ -175,3 +175,29 @@ def test_empty_training_degrades_gracefully(spark):
     assert m.count() == 0
     some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert classify_nb(some, m).count() == 0
+
+
+def test_zero_token_label(spark):
+    """A label whose training docs are all empty still participates:
+    grid rows with tot=0 (uniform ln(alpha/(alpha*V)) conditionals)
+    and its prior — a zero-in-vocab doc can be predicted as it.
+    Before the fix the label silently vanished from the model (grid
+    derived from token totals instead of priors)."""
+    rows = [
+        (1, "", "aa"), (2, None, "aa"), (3, "", "aa"),  # zero tokens
+        (4, "x", "bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = train_nb(df, "text", "lang")
+    labels = {r.label for r in m.collect()}
+    assert labels == {"aa", "bb"}  # 'aa' keeps its grid rows
+    aa = [r for r in m.collect() if r.label == "aa"][0]
+    # tot=0, V=1 -> ln(1/1) = 0 conditionals; prior ln(3/4)
+    assert float(aa.log_cond) == 0.0
+    assert float(aa.log_prior) == round(math.log(3 / 4), 9)
+    out = {r.doc_id: r for r in classify_nb(df, m).collect()}
+    # zero-in-vocab docs go to the majority PRIOR: 'aa' (3/4 > 1/4)
+    assert out[1].nb_pred == "aa" and out[1].n_tok_nb == 0
+    # the 'x' doc: bb has the evidence ln(2/2)=0 vs aa's ln(1/1)=0 —
+    # equal conditionals, so the prior decides: aa wins 3/4
+    assert out[4].nb_pred == "aa"
