@@ -128,6 +128,35 @@ def build_pipeline(spark, args):
         n_after = docs.count()
         n_ingested_dropped = n_in - n_after
 
+    if args.fuzzy_dedup_ref is not None:
+        # NEAR-duplicate companion of --dedup-against (operators/dedup.
+        # minhash_dedup_against): probe the prebuilt bucketed MinHash
+        # index; only the crawl side shuffles.  Banding comes from the
+        # index's own TBLPROPERTIES so any valid index works; a table
+        # without them is refused by the operator.
+        from pulsarfeatureextractor_spark.operators.dedup import (
+            minhash_dedup_against,
+        )
+
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {args.fuzzy_dedup_ref}"
+            ).collect()
+        }
+        n_before = docs.count() if n_ingested_dropped else n_in
+        docs = minhash_dedup_against(
+            docs, args.fuzzy_dedup_ref,
+            text_col=args.text_col, id_col=args.id_col,
+            num_perm=int(props.get("mh.num_perm", 64)),
+            bands=int(props.get("mh.bands", 16)),
+            shingle_n=int(props.get("mh.shingle_n", 3)),
+            threshold=args.fuzzy_dedup_threshold,
+        ).localCheckpoint(eager=True)
+        n_fuzzy_dropped = n_before - docs.count()
+    else:
+        n_fuzzy_dropped = 0
+
     if args.boilerplate_ratio is not None:
         # corpus-level cleaning BEFORE any filtering: drop tokens
         # present in >= num/den of all documents (C4-style,
@@ -548,9 +577,10 @@ def build_pipeline(spark, args):
             "docs_canonical": n_canonical if n_canonical is not None else n_kept,
             "rows_out": n_kept,
             "dropped_ingested": n_ingested_dropped,
-            "dropped_quality": n_in - n_ingested_dropped - n_filtered
-            - n_nb_dropped - n_model_dropped - n_ppl_dropped
-            - n_span_dropped,
+            "dropped_ingested_fuzzy": n_fuzzy_dropped,
+            "dropped_quality": n_in - n_ingested_dropped
+            - n_fuzzy_dropped - n_filtered - n_nb_dropped
+            - n_model_dropped - n_ppl_dropped - n_span_dropped,
             "dropped_langid": n_nb_dropped,
             "dropped_model": n_model_dropped,
             "dropped_perplexity": n_ppl_dropped,
@@ -656,6 +686,15 @@ def main(argv=None) -> dict:
     ap.add_argument("--dedup-against-text-col", default=None,
                     help="treat --dedup-against as raw text and digest "
                          "this column of it instead")
+    ap.add_argument("--fuzzy-dedup-ref", default=None,
+                    help="metastore table name of a "
+                         "prepare_minhash_reference index — crawl docs "
+                         "with a NEAR-duplicate in the ingested corpus "
+                         "(est Jaccard >= --fuzzy-dedup-threshold) are "
+                         "dropped right after the exact --dedup-against "
+                         "pass (dropped_ingested_fuzzy counter); banding "
+                         "params are read from the index's TBLPROPERTIES")
+    ap.add_argument("--fuzzy-dedup-threshold", type=float, default=0.7)
     ap.add_argument("--line-dedup-min-count", type=int, default=None,
                     help="RefinedWeb exact line-level dedup: rewrite "
                          "each document removing every occurrence of "

@@ -642,3 +642,45 @@ def test_curate_job_dedup_against_stage(spark, tmp_path):
         - m["dropped_dup"] - m["dropped_dsir"]
         == m["rows_out"]
     )
+
+
+def test_curate_job_fuzzy_dedup_stage(spark, tmp_path):
+    """--fuzzy-dedup-ref: crawl docs with a NEAR-duplicate in the
+    prebuilt MinHash index are dropped (banding read from the index's
+    TBLPROPERTIES); ledger sums with both ingest-dedup counters."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus
+
+    from pyspark.sql import functions as F
+    from pulsarfeatureextractor_spark.operators.dedup import (
+        prepare_minhash_reference,
+    )
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    ref = spark.read.parquet(src).where(F.col("doc_id") % 3 == 0)
+    prepare_minhash_reference(
+        ref, "cli_fuzzy_ref_tbl", str(tmp_path / "fz") + "/t", n_buckets=8
+    )
+    out = str(tmp_path / "cur_fz")
+    res = curate_corpus.main([
+        "--input", src, "--output", out,
+        "--pair-source", "ngram", "--dup-threshold", "0.5",
+        "--min-tokens", "5",
+        "--fuzzy-dedup-ref", "cli_fuzzy_ref_tbl",
+        "--fuzzy-dedup-threshold", "0.5",
+    ])
+    assert len(res["written"]) > 0
+    parts = [p for p in os.listdir(out) if p.startswith("split=")]
+    m = json.load(open(os.path.join(out, parts[0], "_lineage.json")))[
+        "metrics"
+    ]
+    # every doc_id % 3 == 0 is its own exact member of the index ->
+    # at least those drop (est 1.0), plus genuine near-dups
+    assert m["dropped_ingested_fuzzy"] >= 150
+    assert (
+        m["docs_in"] - m["dropped_ingested"] - m["dropped_ingested_fuzzy"]
+        - m["dropped_quality"] - m["dropped_langid"] - m["dropped_model"]
+        - m["dropped_perplexity"] - m["dropped_repeated_spans"]
+        - m["dropped_dup"] - m["dropped_dsir"]
+        == m["rows_out"]
+    )
