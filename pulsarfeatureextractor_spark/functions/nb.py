@@ -64,15 +64,11 @@ _WS = "__nb_ws"
 
 
 def _words(df: DataFrame, text_col: str) -> DataFrame:
-    # NULL text == '' (the engine-wide pinned convention, cf.
-    # text.remove_boilerplate after the round-4 ADVICE fix).
-    return df.withColumn(
-        _WS,
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-            lambda w: w != F.lit(""),
-        ),
-    )
+    # NULL text == '' (the engine-wide pinned convention — the
+    # canonical expression lives in text.clean_words_col).
+    from .text import clean_words_col
+
+    return df.withColumn(_WS, clean_words_col(text_col))
 
 
 def train_nb(

@@ -34,6 +34,19 @@ def words_col(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def clean_words_col(text_col: str = "text") -> Column:
+    """The engine-wide pinned tokenization: NULL text == '', split on
+    single spaces, empty tokens dropped.  One canonical home for the
+    expression the round-5 review found re-stated per module (lm /
+    dsir / spans / bpe / nb / unigram all pin the same convention);
+    new code should use this, existing modules keep their verbatim
+    copies because their differential oracles mirror them verbatim."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != F.lit(""),
+    )
+
+
 def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Arithmetic quality features (portable to ANSI SQL):
 

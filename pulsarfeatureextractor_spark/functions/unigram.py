@@ -349,12 +349,9 @@ def tokenizer_eval(
         df, model, text_col=text_col, max_piece_len=max_piece_len
     )
     toks = F.col("unigram_tokens")
-    n_words = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-            lambda w: w != F.lit(""),
-        )
-    )
+    from .text import clean_words_col
+
+    n_words = F.size(clean_words_col(text_col))
     n_unk = F.size(F.filter(toks, lambda t: ~t.isin(vocab)))
     n_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
