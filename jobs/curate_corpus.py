@@ -445,6 +445,7 @@ def build_pipeline(spark, args):
         args.id_col,
     )
     n_dsir_dropped = 0
+    n_dedup_canonical = None
     if args.dsir_target_lang is not None:
         # DSIR data-selection stage (functions/dsir.py, Xie et al.
         # 2023): score every canonical doc's hashed-n-gram likelihood
@@ -462,8 +463,30 @@ def build_pipeline(spark, args):
             raise SystemExit(
                 f"--dsir-target-lang needs column {args.dsir_lang_col!r}"
             )
+        if args.mix_source_col not in kept.columns:
+            # dsir_select stratifies on the source column; failing here
+            # beats a raw AnalysisException after the expensive
+            # filter/dedup chain already ran
+            raise SystemExit(
+                f"--dsir-target-lang needs stratum column "
+                f"{args.mix_source_col!r} (set --mix-source-col)"
+            )
         kept = kept.localCheckpoint(eager=True)
         n_before = kept.count()
+        if (
+            kept.where(
+                F.col(args.dsir_lang_col) == args.dsir_target_lang
+            ).limit(1).count() == 0
+        ):
+            # an empty target corpus trains an all-NULL log-ratio model
+            # and dsir_select would silently degrade to keep-lowest-id
+            # truncation — refuse instead (typo'd language, or every
+            # target doc already filtered out upstream)
+            raise SystemExit(
+                f"--dsir-target-lang {args.dsir_target_lang!r}: no "
+                f"surviving docs have that {args.dsir_lang_col!r} — "
+                f"the DSIR target corpus is empty"
+            )
         lr = dsir_log_ratios(
             kept.where(F.col(args.dsir_lang_col) == args.dsir_target_lang),
             kept, args.text_col, args.id_col, hasher=args.dsir_hasher,
@@ -476,6 +499,11 @@ def build_pipeline(spark, args):
             frac=args.dsir_frac,
         ).drop("n_grams", "dsir_logw", "sel_key").localCheckpoint(eager=True)
         n_dsir_dropped = n_before - kept.count()
+        # n_before is the post-dedup, pre-DSIR count — the true
+        # dedup-canonical figure for the ledger (review finding: with
+        # DSIR and no mixing, docs_canonical otherwise fell back to
+        # the post-DSIR n_kept, under-reporting by n_dsir_dropped)
+        n_dedup_canonical = n_before
     mix = None
     n_canonical = None
     if args.mix_weights or args.mix_temperature is not None:
@@ -574,7 +602,11 @@ def build_pipeline(spark, args):
         "metrics": {
             "docs_in": n_in,
             "docs_after_quality": n_filtered,
-            "docs_canonical": n_canonical if n_canonical is not None else n_kept,
+            "docs_canonical": (
+                n_dedup_canonical
+                if n_dedup_canonical is not None
+                else (n_canonical if n_canonical is not None else n_kept)
+            ),
             "rows_out": n_kept,
             "dropped_ingested": n_ingested_dropped,
             "dropped_ingested_fuzzy": n_fuzzy_dropped,

@@ -228,6 +228,11 @@ def classify_with_model(
         lab = np.array(labs, dtype=object)[ix]
         if min_score is not None:
             lab = np.where(S.max(axis=1) < min_score, fallback, lab)
+        # NULL features propagate to NaN scores, where argmax returns
+        # an arbitrary first index and `NaN < min_score` is False —
+        # the row would be CONFIDENTLY mislabeled instead of
+        # abstaining.  Unjudgeable rows always take the fallback.
+        lab = np.where(np.isnan(S).any(axis=1), fallback, lab)
         return pd.Series(lab)
 
     # evaluate-exactly-once, as in score_with_model (see that comment)
@@ -305,8 +310,11 @@ def keep_top_fraction(
     crash: ``approxQuantile`` returns [] there and the cutoff becomes
     +inf.  NULL scores never satisfy ``>= cut`` and are dropped.
     """
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError("fraction must be in [0, 1]")
+    if not 0.0 < fraction <= 1.0:
+        # 0.0 would NOT mean "keep nothing": the (1-0)-quantile is the
+        # max score and the tie-keeping `>=` keeps every max-tied row —
+        # reject it like dsir_select / keep_top_fraction_by do
+        raise ValueError("fraction must be in (0, 1]")
     if pin:
         df = df.localCheckpoint(eager=True)
     qs = df.approxQuantile(score_col, [1.0 - fraction], relative_error)

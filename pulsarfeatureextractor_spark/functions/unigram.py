@@ -182,6 +182,11 @@ def train_unigram(
     spark = df.sparkSession
     words = _word_counts(df, text_col).localCheckpoint(eager=True)
     n_words = words.count()
+    if n_words == 0:
+        # empty / all-empty-text corpus: return the empty model like
+        # train_bpe and train_wordpiece do, instead of a math domain
+        # error from log(0) deep inside the M-step
+        return []
     if n_words > max_distinct_words:
         raise ValueError(
             f"distinct words {n_words} exceed max_distinct_words "

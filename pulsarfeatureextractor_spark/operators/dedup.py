@@ -115,10 +115,16 @@ def line_dedup(
     deterministic under any partitioning because pos is unique per
     document.  No Python anywhere; no driver-side state.
     """
+    # F.split takes a Java REGEX while array_join below takes the
+    # literal separator — an unquoted metachar sep (e.g. '|' or '. ')
+    # would split between every character and reassemble differently.
+    # \Q...\E quoting makes the split literal too (a sep containing
+    # the \E terminator is re-opened around it).
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx)
         ).alias("__pos", "__line"),
     )
     dup = (
@@ -147,7 +153,7 @@ def line_dedup(
     base = df.select(
         F.col(id_col),
         F.size(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx)
         ).alias("n_lines"),
     )
     return base.join(kept, id_col, "left").select(

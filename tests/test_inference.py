@@ -444,3 +444,25 @@ def test_top_fraction_by_one_exchange(spark):
     # repartition above is the input's own round-robin, not keyed)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_classify_null_features_abstain(spark):
+    """NULL features propagate to NaN scores where argmax picks an
+    arbitrary class and min_score never fires — such rows must take
+    the fallback, not a confident label (review finding)."""
+    from pulsarfeatureextractor_spark.functions.inference import (
+        classify_with_model,
+        multinomial_linear_model,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -5.0)], "doc_id long, x double"
+    )
+    m = multinomial_linear_model([[1.0], [-1.0]], [0.0, 0.0])
+    out = {
+        r.doc_id: r.class_pred
+        for r in classify_with_model(
+            df, ["x"], m, ["pos", "neg"], min_score=0.0, fallback="und"
+        ).collect()
+    }
+    assert out == {1: "pos", 2: "und", 3: "neg"}

@@ -122,3 +122,15 @@ def test_paragraph_dedup_via_sep(spark):
     assert out[1]["clean_text"] == "para one\nwraps"
     assert out[2]["clean_text"] == "unique tail"
     assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+
+
+def test_line_dedup_regex_metachar_sep(spark):
+    """sep is LITERAL on both the split and the rejoin: an unquoted
+    '|' would regex-split between every character (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "aa|bb|cc"), (2, "bb|dd")], "doc_id long, text string"
+    )
+    out = _rows(line_dedup(df, sep="|"))
+    # only the 'bb' segment is duplicated corpus-wide
+    assert out[1]["clean_text"] == "aa|cc" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "dd" and out[2]["n_lines"] == 2

@@ -193,3 +193,14 @@ def test_tokenizer_eval_zero_token_group_null_ratios(spark):
     assert row.n_tokens == 0 and row.n_words == 0 and row.n_docs == 2
     assert row.fertility is None
     assert row.chars_per_token is None and row.unk_rate is None
+
+
+def test_train_unigram_empty_corpus_returns_empty_model(spark):
+    """Empty / all-empty-text corpus yields [], matching train_bpe,
+    instead of a math domain error from the M-step (review finding)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert train_unigram(empty, **PARAMS) == []
+    blank = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    assert train_unigram(blank, **PARAMS) == []
