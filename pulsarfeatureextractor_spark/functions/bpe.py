@@ -88,6 +88,42 @@ def _apply_merge(s: Column, p1: str, p2: str) -> Column:
     )
 
 
+def _word_state(
+    df: DataFrame,
+    text_col: str,
+    max_words: "int | None",
+    eow: str,
+) -> DataFrame:
+    """The checkpointed (serialized-word, freq) training state shared
+    by the BPE and WordPiece learners: word-count aggregate with _SEP
+    exclusion, the deterministic (freq desc, word asc) max_words cut,
+    and the eow-wrapped serialization.  Extracted so a fix to the
+    word-table construction lands in both learners at once (round-5
+    review finding #10)."""
+    if _SEP in eow:
+        raise ValueError("eow must not contain U+001F")
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda w: (w != F.lit("")) & ~w.contains(_SEP),
+                )
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    if max_words is not None:
+        words = words.orderBy(
+            F.col("__freq").desc(), F.col("__w").asc()
+        ).limit(int(max_words))
+    return words.select(
+        _serialize_word(F.col("__w"), eow).alias("__s"),
+        F.col("__freq"),
+    ).localCheckpoint(eager=True)
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -104,28 +140,7 @@ def train_bpe(
     Stops early when no remaining adjacent pair reaches
     ``min_pair_freq`` total (corpus-weighted) occurrences.
     """
-    if _SEP in eow:
-        raise ValueError("eow must not contain U+001F")
-    words = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                    lambda w: (w != F.lit("")) & ~w.contains(_SEP),
-                )
-            ).alias("__w")
-        )
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("__freq"))
-    )
-    if max_words is not None:
-        words = words.orderBy(F.col("__freq").desc(), F.col("__w").asc()).limit(
-            int(max_words)
-        )
-    state = words.select(
-        _serialize_word(F.col("__w"), eow).alias("__s"),
-        F.col("__freq"),
-    ).localCheckpoint(eager=True)
+    state = _word_state(df, text_col, max_words, eow)
 
     merges: "list[tuple[str, str]]" = []
     for r in range(int(n_merges)):

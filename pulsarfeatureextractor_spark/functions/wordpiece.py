@@ -51,8 +51,8 @@ from pulsarfeatureextractor_spark.functions.bpe import (
     _SEP,
     EOW,
     _apply_merge,
-    _serialize_word,
     _tokens_of,
+    _word_state,
 )
 
 __all__ = ["train_wordpiece", "wordpiece_encode", "wordpiece_vocab_table"]
@@ -73,27 +73,7 @@ def train_wordpiece(
 
     Stops early when no remaining pair reaches ``min_pair_freq`` total
     corpus-weighted occurrences."""
-    if _SEP in eow:
-        raise ValueError("eow must not contain U+001F")
-    words = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                    lambda w: (w != F.lit("")) & ~w.contains(_SEP),
-                )
-            ).alias("__w")
-        )
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("__freq"))
-    )
-    if max_words is not None:
-        words = words.orderBy(
-            F.col("__freq").desc(), F.col("__w").asc()
-        ).limit(int(max_words))
-    state = words.select(
-        _serialize_word(F.col("__w"), eow).alias("__s"), F.col("__freq")
-    ).localCheckpoint(eager=True)
+    state = _word_state(df, text_col, max_words, eow)
 
     merges: "list[tuple[str, str, float]]" = []
     for r in range(int(n_merges)):
